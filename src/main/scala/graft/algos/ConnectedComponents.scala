@@ -1,0 +1,92 @@
+package graft.algos
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.core.CheckpointManager
+import graft.graph.Edges
+
+/** Connected components via alternating small-star / large-star
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC'14) — the north_rule's mandated formulation. The reference
+  * delegates to nx.connected_components for LCC extraction
+  * (/root/reference/run_benchmarks.py:255-272); assignments must match
+  * exactly: component id = minimum vertex id in the component.
+  *
+  * Each round is two join+aggregate supersteps over the shrinking edge
+  * set; convergence in O(log^2 n) rounds. Every op is an equi-join or
+  * hash aggregation — Catalyst plans them with partial aggregation and
+  * AQE handles the (heavily skewed) star-root keys.
+  */
+object ConnectedComponents {
+
+  /** large-star: for every u, connect its larger neighbors to
+    * m = min(N(u) ∪ {u}).
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(min(least(col("v"), col("u"))).as("m"))
+    sym.join(mins, "u").where(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** small-star: for every u, connect its smaller-or-equal neighbors
+    * (and u itself) to m = min(N_small(u) ∪ {u}).
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val keyed = e.select(greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v"))
+    val mins = keyed.groupBy("u").agg(min(col("v")).as("m"))
+    keyed.join(mins, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(mins.select(col("u"), col("m").as("v")))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  private def checksum(e: DataFrame): (Long, String) = {
+    val r = e.agg(count(lit(1)),
+      coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head()
+    (r.getLong(0), r.getDecimal(1).toPlainString)
+  }
+
+  /** Run to convergence. Returns (id, component) with component = min
+    * vertex id of the component; every vertex of `edges` appears.
+    */
+  def run(spark: SparkSession, edges: DataFrame, maxRounds: Int = 50,
+          checkpoint: Option[CheckpointManager] = None): DataFrame = {
+    val verts = Edges.vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    var e = edges.select(col("src").as("u"), col("dst").as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var sig = checksum(e)
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      // largeStar/smallStar each reference the edge set twice (the
+      // symmetrize union + the min join) — truncate lineage every round
+      // or the plan grows 4x per round.
+      var next = smallStar(largeStar(e))
+      next = checkpoint match {
+        case Some(cm) => cm.commit(round, next, Map("edges" -> sig._1.toDouble))
+        case None => next.localCheckpoint(true)
+      }
+      val nsig = checksum(next)
+      e.unpersist(false)
+      e = next
+      done = nsig == sig
+      sig = nsig
+      round += 1
+    }
+    // Final star edges point v -> root (root < v). Roots / isolated
+    // vertices map to themselves.
+    val assign = verts.join(e.select(col("u").as("id"), col("v").as("root")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("component"))
+    assign
+  }
+}

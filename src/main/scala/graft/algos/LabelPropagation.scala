@@ -1,0 +1,43 @@
+package graft.algos
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.graph.Edges
+
+/** Synchronous label propagation (north_rule addition; not in the
+  * reference). Every vertex starts labeled with its own id; each
+  * superstep it adopts the most frequent label among its neighbors'
+  * previous labels, ties broken by minimum label — fully deterministic,
+  * unlike the textbook randomized-order LPA.
+  *
+  * Superstep = gather join (neighbor labels) + two-level aggregation
+  * (count per (vertex,label), then windowed argmax per vertex). The
+  * window partitions by vertex id, so no global sort; hub vertices have
+  * at most `distinct neighbor labels` rows in their window partition.
+  */
+object LabelPropagation {
+
+  def run(spark: SparkSession, edges: DataFrame, iterations: Int): DataFrame = {
+    val nbrs = Edges.neighbors(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = Edges.vertices(edges).select(col("id"), col("id").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy("vid").orderBy(col("cnt").desc, col("label").asc)
+    for (i <- 1 to iterations) {
+      val counts = nbrs.join(labels, nbrs("nbr") === labels("id"))
+        .groupBy(nbrs("id").as("vid"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val next = counts.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("vid").as("id"), col("label"))
+      val p = next.persist(StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      labels.unpersist(false)
+      labels = p
+    }
+    nbrs.unpersist(false)
+    labels
+  }
+}

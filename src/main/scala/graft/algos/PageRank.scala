@@ -1,0 +1,168 @@
+package graft.algos
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.core.CheckpointManager
+import graft.graph.{Edges, Skew}
+
+/** Distributed PageRank with NetworkX-compatible semantics (the
+  * reference delegates to nx.pagerank, /root/reference/graphem/benchmark.py:74-77):
+  *
+  *   x_{t+1}(v) = alpha * ( sum_{u->v} x_t(u)/outdeg(u) + danglesum_t/n )
+  *              + (1-alpha)/n
+  *   danglesum_t = sum of x_t over vertices with outdeg 0
+  *   converged when sum_v |x_{t+1}(v) - x_t(v)| < n * tol
+  *
+  * Each superstep is one Catalyst-planned join (gather: rank to out-edges)
+  * + hash aggregation (scatter: sum contributions per destination) — the
+  * SpMV of the north_star. Scale posture:
+  *   - `links` is persisted once, pre-shuffled on `src`, so the per-step
+  *     gather join reuses the exchange instead of reshuffling 100 TB of
+  *     edges every iteration;
+  *   - partial aggregation + AQE skew-join absorb hub skew; an optional
+  *     salted two-phase aggregation (Skew.saltedSum) is available for
+  *     extreme hubs;
+  *   - vertex state is checkpointed (Parquet + manifest, CheckpointManager)
+  *     every `checkpointInterval` iterations, truncating plan lineage and
+  *     making runs resumable mid-algorithm.
+  */
+object PageRank {
+
+  case class Config(
+      alpha: Double = 0.85,
+      tol: Double = 1e-6,
+      maxIter: Int = 100,
+      checkpoint: Option[CheckpointManager] = None,
+      checkpointInterval: Int = 1,
+      numPartitions: Option[Int] = None,
+      saltedAgg: Boolean = false,
+      salts: Int = 16)
+
+  case class Result(ranks: DataFrame, iterations: Int, err: Double,
+                    edgesPerSecPerSuperstep: Double)
+
+  /** Undirected PageRank over a canonical edge table (src<dst distinct):
+    * message passing along both directions.
+    */
+  def runUndirected(spark: SparkSession, edges: DataFrame,
+                    cfg: Config = Config()): Result =
+    run(spark, Edges.neighbors(edges).toDF("src", "dst"), cfg)
+
+  /** Directed PageRank over a (src, dst) link table (duplicates allowed =
+    * parallel edges, matching nx.DiGraph after dedup — pass distinct
+    * links for exact nx parity).
+    */
+  def run(spark: SparkSession, linksRaw: DataFrame, cfg: Config): Result = {
+    val p = cfg.numPartitions.getOrElse(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+
+    // Pre-shuffle the big immutable side once; every superstep's gather
+    // join then reuses this exchange.
+    val links = linksRaw.select(col("src").cast("long"), col("dst").cast("long"))
+      .repartition(p, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outDeg = links.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).cast("double").as("outdeg"))
+    val verts = links.select(col("src").as("id"))
+      .union(links.select(col("dst").as("id"))).distinct()
+    val vertsDeg = verts.join(outDeg, Seq("id"), "left")
+      .repartition(p, col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = vertsDeg.count()
+    val edgeCount = links.count()
+
+    // Resume from the latest committed snapshot if one exists.
+    val (startIter, startState) = cfg.checkpoint.flatMap(_.resume()) match {
+      case Some((k, snap)) => (k + 1, snap)
+      case None => (0, vertsDeg.select(col("id"), lit(1.0 / n).as("rank"),
+        col("outdeg")))
+    }
+
+    // Lineage discipline: the state DataFrame is referenced twice per
+    // superstep (gather join + delta join), so without truncation the
+    // logical plan DOUBLES every iteration — 2^k nodes by iteration k,
+    // OOMing the driver long before the data does. Parquet checkpoints
+    // truncate it; between them, eager localCheckpoint does.
+    var state = startState.localCheckpoint(true)
+    var iter = startIter
+    var err = Double.MaxValue
+    var converged = false
+    val t0 = System.nanoTime()
+    var steps = 0
+
+    val anyDangling = vertsDeg.where(col("outdeg").isNull).limit(1).count() > 0
+
+    while (!converged && iter < cfg.maxIter) {
+      val dangleSum = if (!anyDangling) 0.0
+        else state.where(col("outdeg").isNull)
+          .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+
+      val msgs = links.join(state.hint("merge"), links("src") === state("id"))
+        .select(col("dst").as("mid"), (col("rank") / col("outdeg")).as("contrib"))
+      val gathered =
+        if (cfg.saltedAgg)
+          Skew.saltedSum(msgs.withColumnRenamed("mid", "gid"), "gid", "contrib",
+            spark_partition_id().cast("long"), cfg.salts)
+            .withColumnRenamed("gid", "mid").withColumnRenamed("contrib", "msum")
+        else
+          msgs.groupBy(col("mid")).agg(sum(col("contrib")).as("msum"))
+
+      val base = cfg.alpha * dangleSum / n + (1.0 - cfg.alpha) / n
+      val stepped = vertsDeg
+        .join(gathered, vertsDeg("id") === gathered("mid"), "left")
+        .select(vertsDeg("id"),
+          (lit(cfg.alpha) * coalesce(col("msum"), lit(0.0)) + lit(base)).as("rank"),
+          col("outdeg"))
+
+      // Materialize new state + delta in one pass over a truncated plan.
+      val joinedOld = stepped.as("nw")
+        .join(state.select(col("id"), col("rank").as("old")), Seq("id"))
+        .localCheckpoint(true)
+      err = joinedOld.agg(sum(abs(col("rank") - col("old")))).head().getDouble(0)
+      var newState = joinedOld.select(col("id"), col("rank"), col("outdeg"))
+
+      converged = err < n * cfg.tol
+      val doCkpt = cfg.checkpoint.isDefined &&
+        ((iter + 1) % cfg.checkpointInterval == 0 || converged)
+      if (doCkpt) {
+        newState = cfg.checkpoint.get.commit(iter,
+          newState, Map("err" -> err, "n" -> n.toDouble))
+      }
+      state = newState
+      iter += 1
+      steps += 1
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    val eps = if (steps > 0) edgeCount.toDouble * steps / secs else 0.0
+    links.unpersist(false)
+    vertsDeg.unpersist(false)
+    Result(state.select(col("id"), col("rank")), iter, err, eps)
+  }
+
+  /** Fixed-iteration undirected PageRank with no dangling handling —
+    * the DuckDB-oracle-checkable query variant (every vertex in a
+    * canonical edge table has degree >= 1, so dangling mass is zero by
+    * construction). Kept as a single declarative plan (no actions inside)
+    * so Catalyst sees the whole 2k-iteration pipeline.
+    */
+  def fixedIterUndirected(edges: DataFrame, iters: Int,
+                          alpha: Double = 0.85): DataFrame = {
+    val nbrs = Edges.neighbors(edges)
+    val deg = nbrs.groupBy("id").agg(count(lit(1)).cast("double").as("deg"))
+    val nRow = deg.agg(count(lit(1)).cast("double").as("n"))
+    var ranks = deg.crossJoin(nRow)
+      .select(col("id"), (lit(1.0) / col("n")).as("rank"), col("deg"), col("n"))
+    for (_ <- 1 to iters) {
+      val msgs = nbrs.join(ranks, Seq("id"))
+        .select(col("nbr").as("mid"), (col("rank") / col("deg")).as("c"))
+      val gathered = msgs.groupBy(col("mid")).agg(sum(col("c")).as("s"))
+      ranks = ranks.join(gathered, ranks("id") === gathered("mid"), "left")
+        .select(ranks("id"),
+          ((lit(1.0) - lit(alpha)) / col("n") +
+            lit(alpha) * coalesce(col("s"), lit(0.0))).as("rank"),
+          col("deg"), col("n"))
+    }
+    ranks.select(col("id"), col("rank"))
+  }
+}
