@@ -3,9 +3,13 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.expressions.Window
+
 import graft.algos.{ConnectedComponents, LabelPropagation, PageRank, TriangleCount}
+import graft.ann.Ann
 import graft.graph.Edges
 import graft.ingest.{LinkExtract, Pages, UrlDictionary}
+import graft.text.{Dedup, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -94,7 +98,11 @@ object SparkEntry {
 
   // ---- queries -------------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graphAndIngestQueries ++ textQueries ++ annQueries ++
+      eventQueries ++ relQueries
+
+  private def graphAndIngestQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // graph layer over the lineitem-derived edge table
     "q_edges" -> ((s, dir) => edges(s, dir).orderBy("src", "dst")),
 
@@ -146,6 +154,142 @@ object SparkEntry {
         .select(col("id"),
           round(col("rank") * 1e9, 0).cast("long").as("rank_nano"))
         .orderBy("id")
+    }),
+  )
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+
+  /** documents plus synthetic duplicates (every 10th doc repeated under
+    * doc_id + 1e6) — gives the dedup operators real work.
+    */
+  private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    d.union(d.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+  }
+
+  private def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_doc_tokens" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")),
+
+    "q_doc_quality" -> ((s, dir) =>
+      TextOps.quality(docs(s, dir))
+        .select("doc_id", "n_chars", "n_tokens", "avg_token_len_micro",
+          "stopword_ratio_micro", "punct_ratio_micro", "upper_ratio_micro")
+        .orderBy("doc_id")),
+
+    "q_doc_langid" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextOps.langId(col("text")).as("lang_detected"))
+        .orderBy("doc_id")),
+
+    "q_doc_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextOps.rollingHash(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(dupCorpus(s, dir), "doc_id", "text")
+        .orderBy("keep_id")),
+
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val sh = docs(s, dir).where(col("doc_id") < 40)
+        .select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
+      sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          round(TextOps.jaccard(col("a.sh"), col("b.sh")) * 1e6, 0)
+            .cast("long").as("jaccard_micro"))
+        .where(col("jaccard_micro") > 0)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // xxhash64-based — not expressible in DuckDB; rows-only checks
+    "q_minhash_dedup" -> ((s, dir) =>
+      Dedup.minHashNearDups(dupCorpus(s, dir), "doc_id", "text",
+        threshold = 0.9).orderBy("id_a", "id_b")),
+
+    "q_simhash" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        Dedup.simHash(col("text")).as("simhash")).orderBy("doc_id")),
+  )
+
+  private def annQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Ann.bruteForceTopK(emb, emb.where(col("vec_id") < 10), 5)
+        .orderBy("query_id", "rank")
+    }),
+    // LSH-bucketed approximate variant — rows-only check
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Ann.lshTopK(emb, emb.where(col("vec_id") < 10), 5)
+        .orderBy("query_id", "rank")
+    }),
+  )
+
+  private def eventQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_hourly" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(
+          unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")) * 1e6, 0).cast("long").as("value_micro"))
+        .orderBy("hour_epoch", "event_type")),
+
+    "q_events_sessions" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val flagged = ev.withColumn("flag",
+        when(col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1)
+          .otherwise(0))
+      val sessioned = flagged.withColumn("sess",
+        sum(col("flag")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      sessioned.groupBy("user_id", "sess")
+        .agg(min(col("us")).as("session_start_us"),
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")) * 1e6, 0).cast("long").as("value_micro"))
+        .orderBy("user_id", "sess")
+    }),
+  )
+
+  private def relQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rel_agg" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          round(sum(col("l_extendedprice")) * 100, 0).cast("long")
+            .as("price_cents"),
+          round(avg(col("l_discount")) * 1e6, 0).cast("long")
+            .as("disc_micro"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q_rel_topcust" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(round(sum(col("o_totalprice")) * 100, 0).cast("long")
+          .as("revenue_cents"))
+        .orderBy(desc("revenue_cents"), col("c_custkey")).limit(10)
+    }),
+
+    "q_rel_window" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(desc("c_acctbal"), col("c_custkey"))
+      c.withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 2)
+        .select(col("c_nationkey"), col("c_custkey"),
+          round(col("c_acctbal") * 100, 0).cast("long").as("acctbal_cents"),
+          col("rn"))
+        .orderBy("c_nationkey", "rn")
     }),
   )
 
@@ -241,5 +385,142 @@ object SparkEntry {
          |nbrs AS (SELECT src AS id, dst AS nbr FROM edges
          |         UNION ALL SELECT dst AS id, src AS nbr FROM edges),
          |$pagerankSqlTail""".stripMargin,
+  ) ++ textOracles ++ annOracles ++ eventOracles ++ relOracles
+
+  private val enIn = TextOps.StopwordsEn.map("'" + _ + "'").mkString(", ")
+  private val deIn = TextOps.StopwordsDe.map("'" + _ + "'").mkString(", ")
+  private val frIn = TextOps.StopwordsFr.map("'" + _ + "'").mkString(", ")
+
+  private val dupCorpusCte =
+    """corpus AS (SELECT doc_id, text FROM documents
+      |           UNION ALL
+      |           SELECT doc_id + 1000000, text FROM documents
+      |           WHERE doc_id % 10 = 0)""".stripMargin
+
+  private def textOracles: Map[String, String] = Map(
+    "q_doc_tokens" ->
+      """SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_doc_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |       / len(str_split(text, ' ')) * 1e6, 0) AS BIGINT) AS avg_token_len_micro,
+         |  CAST(round(CAST(len(list_filter(str_split(text, ' '),
+         |       x -> x IN ($enIn))) AS DOUBLE)
+         |       / len(str_split(text, ' ')) * 1e6, 0) AS BIGINT) AS stopword_ratio_micro,
+         |  CAST(round(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+         |       / length(text) * 1e6, 0) AS BIGINT) AS punct_ratio_micro,
+         |  CAST(round(CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
+         |       / length(text) * 1e6, 0) AS BIGINT) AS upper_ratio_micro
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_doc_langid" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  len(list_filter(str_split(text, ' '), x -> x IN ($enIn))) AS en,
+         |  len(list_filter(str_split(text, ' '), x -> x IN ($deIn))) AS de,
+         |  len(list_filter(str_split(text, ' '), x -> x IN ($frIn))) AS fr
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN en >= de AND en >= fr AND en > 0 THEN 'en'
+         |       WHEN de >= fr AND de > 0 THEN 'de'
+         |       WHEN fr > 0 THEN 'fr'
+         |       ELSE 'unk' END AS lang_detected
+         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q_doc_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_transform(str_split(text, ''),
+        |    c -> CAST(ascii(c) AS BIGINT)),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      s"""WITH $dupCorpusCte
+         |SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id,
+         |       count(*) AS n_copies
+         |FROM corpus GROUP BY md5(text) HAVING count(*) > 1
+         |ORDER BY keep_id""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(0, len(str_split(text, ' ')) - 2),
+        |      i -> array_to_string(list_slice(str_split(text, ' '), i + 1, i + 3), ' '))) AS s
+        |  FROM documents WHERE doc_id < 40)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |       / len(list_distinct(list_concat(a.s, b.s))) * 1e6, 0) AS BIGINT) AS jaccard_micro
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.s, b.s)) > 0
+        |  AND CAST(round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |       / len(list_distinct(list_concat(a.s, b.s))) * 1e6, 0) AS BIGINT) > 0
+        |ORDER BY id_a, id_b""".stripMargin,
+  )
+
+  private def annOracles: Map[String, String] = Map(
+    "q_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+        |      FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(round(list_dot_product(qv, cv)
+        |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+        |      * 1e6, 0) AS BIGINT) AS cosine_micro
+        |  FROM c, q WHERE query_id <> neighbor_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cosine_micro DESC, neighbor_id) AS rank FROM scored)
+        |SELECT query_id, neighbor_id, cosine_micro, rank
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+  )
+
+  private def eventOracles: Map[String, String] = Map(
+    "q_events_hourly" ->
+      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+        |  event_type, count(*) AS n_events,
+        |  CAST(round(sum(value) * 1e6, 0) AS BIGINT) AS value_micro
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_events_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
+        |f AS (SELECT *, CASE WHEN us - lag(us) OVER
+        |        (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+        |      THEN 1 ELSE 0 END AS flag FROM e),
+        |s AS (SELECT *, sum(flag) OVER (PARTITION BY user_id
+        |        ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM f)
+        |SELECT user_id, sess, min(us) AS session_start_us,
+        |  count(*) AS n_events,
+        |  CAST(round(sum(value) * 1e6, 0) AS BIGINT) AS value_micro
+        |FROM s GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin,
+  )
+
+  private def relOracles: Map[String, String] = Map(
+    "q_rel_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(round(sum(l_extendedprice) * 100, 0) AS BIGINT) AS price_cents,
+        |  CAST(round(avg(l_discount) * 1e6, 0) AS BIGINT) AS disc_micro
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_rel_topcust" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS revenue_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue_cents DESC, c_custkey LIMIT 10""".stripMargin,
+
+    "q_rel_window" ->
+      """SELECT c_nationkey, c_custkey,
+        |  CAST(round(c_acctbal * 100, 0) AS BIGINT) AS acctbal_cents, rn
+        |FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+        |        row_number() OVER (PARTITION BY c_nationkey
+        |          ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |      FROM customer)
+        |WHERE rn <= 2 ORDER BY c_nationkey, rn""".stripMargin,
   )
 }

@@ -1,0 +1,107 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Brute-force cosine top-k is the exactness baseline: broadcast the
+  * (small) query set against the corpus — a broadcast nested-loop join
+  * with a codegen'd dot product, embarrassingly parallel over corpus
+  * partitions, no shuffle until the final per-query top-k (tiny).
+  *
+  * The scale path is LSH bucketing (signed random projections): corpus
+  * and queries hash to buckets; only same-bucket pairs are scored — the
+  * crossJoin becomes an equi-join on bucket id. Projection weights are
+  * deterministic xxhash64 functions of (plane, dim), not data, so the
+  * index is reproducible and needs no fit/training pass.
+  */
+object Ann {
+
+  /** Dot product of two array<double> columns (sequential fold — same
+    * order as DuckDB list_dot_product, for oracle parity).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact top-k by cosine for each query row. `queries` must be small
+    * (broadcast). Deterministic tie-break on neighbor id.
+    * Output: (query_id, neighbor_id, cosine_micro, rank).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")) * 1e6, 0).cast("long")
+          .as("cosine_micro"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine_micro").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** Signed-random-projection bucket id: `planes` sign bits packed into
+    * a long. Weight of (plane p, dim j) is ±1 from xxhash64 parity.
+    */
+  def srpBucket(vec: Column, planes: Int, seed: Column): Column = {
+    val projections = transform(sequence(lit(0), lit(planes - 1)), p =>
+      aggregate(
+        zip_with(vec,
+          sequence(lit(0), size(vec) - 1),
+          (x, j) => when(
+            xxhash64(seed, p, j).bitwiseAND(lit(1L)) === 1L, x)
+            .otherwise(-x)),
+        lit(0.0), (s, v) => s + v))
+    aggregate(
+      zip_with(projections, sequence(lit(0), lit(planes - 1)),
+        (proj, p) => when(proj > 0, graft.core.Cols.shiftLeftC(lit(1L), p))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** Approximate top-k: score only same-bucket candidates across
+    * `tables` independent SRP hash tables (OR-amplification), then exact
+    * cosine on the candidate set. Falls back to fewer than k results for
+    * queries whose buckets are sparse — the recall/cost knob is
+    * (planes, tables).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              planes: Int = 4, tables: Int = 8,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+    // per-table buckets: SRP with table-specific seed
+    def bucketed(df: DataFrame, vc: String): DataFrame =
+      df.select(col("*"), posexplode(
+          transform(sequence(lit(0), lit(tables - 1)),
+            t => srpBucket(col(vc), planes, lit(42L) + t * 1000L))))
+        .withColumnRenamed("pos", "t").withColumnRenamed("col", "b")
+    val cb = bucketed(c, "cv")
+    val qb = bucketed(q, "qv")
+    val cands = cb.join(broadcast(qb), Seq("t", "b"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .distinct()
+    val scored = cands.select(col("query_id"), col("neighbor_id"),
+      round(cosine(col("qv"), col("cv")) * 1e6, 0).cast("long")
+        .as("cosine_micro"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine_micro").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+}

@@ -1,0 +1,120 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication for web-scale corpora: exact, MinHash+LSH, SimHash,
+  * and n-gram Jaccard verification.
+  *
+  * Scale shape: exact dedup is one hash aggregation over the corpus;
+  * MinHash-LSH turns the O(n^2) near-dup problem into a band-bucket
+  * equi-join (shuffle keyed on (band, bucket-hash), heavily skew-tolerant
+  * because bucket ids are hashes); candidate pairs are then verified with
+  * exact Jaccard over shingle sets. No driver-side state anywhere.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash: (fingerprint, keep_id =
+    * min id, n_copies) for groups with more than one member.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .where(col("n_copies") > 1)
+
+  /** Keep one representative row (min id) per distinct text. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = df.groupBy(col(textCol).as("_t"))
+      .agg(min(col(idCol)).as(idCol))
+    df.join(keep, df(idCol) === keep(idCol), "left_semi")
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions,
+    * the minimum xxhash64 over the document's shingles. Pure column
+    * expressions: one array column of size numHashes per row.
+    */
+  def minHashSignature(shingleCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      k => aggregate(shingleCol, lit(Long.MaxValue),
+        (acc, s) => least(acc, xxhash64(s, k))))
+
+  /** LSH banding: (id, band, bucket) rows — documents sharing any
+    * (band, bucket) are near-dup candidates.
+    */
+  def lshBuckets(df: DataFrame, idCol: String, textCol: String,
+                 numHashes: Int = 16, bands: Int = 8): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sig = minHashSignature(TextOps.shingles(col(textCol)), numHashes)
+    df.select(col(idCol).as("id"), sig.as("sig"))
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",",
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+  }
+
+  /** Near-duplicate pairs via MinHash-LSH candidates verified with exact
+    * shingle Jaccard >= threshold. Returns (id_a, id_b, jaccard_micro).
+    */
+  def minHashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = 0.7, numHashes: Int = 16,
+                      bands: Int = 8): DataFrame = {
+    val buckets = lshBuckets(df, idCol, textCol, numHashes, bands)
+    val cands = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    val sh = df.select(col(idCol).as("id"),
+      TextOps.shingles(col(textCol)).as("sh"))
+    cands
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(TextOps.jaccard(col("sh_a"), col("sh_b")) * 1e6, 0)
+          .cast("long").as("jaccard_micro"))
+      .where(col("jaccard_micro") >= (threshold * 1e6).toLong)
+  }
+
+  /** 64-bit SimHash over whitespace tokens: bit b is 1 iff the sum of
+    * (+1/-1 for bit b of xxhash64(token)) over tokens is positive.
+    */
+  def simHash(text: Column): Column = {
+    val toks = TextOps.tokens(text)
+    val sums = aggregate(toks,
+      transform(sequence(lit(0), lit(63)), _ => lit(0L)),
+      (acc, t) => zip_with(acc,
+        transform(sequence(lit(0), lit(63)),
+          b => when(graft.core.Cols.shiftRightC(xxhash64(t), b)
+            .bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))),
+        (x, y) => x + y))
+    aggregate(
+      zip_with(sums, sequence(lit(0), lit(63)),
+        (s, b) => when(s > 0, graft.core.Cols.shiftLeftC(lit(1L), b))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** Hamming distance between two 64-bit SimHash columns. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs within `maxHamming`, candidate-limited by
+    * matching any of 4 16-bit chunks (pigeonhole: dist <= 3 implies at
+    * least one identical chunk).
+    */
+  def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sh"))
+    val chunked = sh.select(col("id"), col("sh"), posexplode(
+      transform(sequence(lit(0), lit(3)),
+        c => graft.core.Cols.shiftRightC(col("sh"), c * 16)
+          .bitwiseAND(lit(0xFFFFL)))))
+      .select(col("id"), col("sh"), col("pos").as("chunk"), col("col").as("ck"))
+    chunked.as("x").join(chunked.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        hamming(col("x.sh"), col("y.sh")).as("hamming")).distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for large-scale training-data pipelines: tokenization,
+  * quality scoring, language id, document fingerprinting. Every function
+  * is a pure codegen'd column pipeline (no UDFs) so it runs inside
+  * whole-stage codegen and is exactly reproducible in the DuckDB oracle.
+  */
+object TextOps {
+
+  /** Whitespace tokens (plain single-space split — the corpus invariant;
+    * regex-split variants differ across engines on edge cases).
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  val StopwordsEn = Seq("the", "a", "of", "and", "to", "is", "in")
+  val StopwordsDe = Seq("der", "die", "das", "und", "ist")
+  val StopwordsFr = Seq("le", "la", "et", "les", "des")
+
+  private def hits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(words)))
+
+  /** Quality metrics as integer micro-units (ratio * 1e6, rounded). */
+  def quality(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nTok = tokenCount(t).cast("double")
+    val noSpace = length(regexp_replace(t, " ", "")).cast("double")
+    val stop = hits(t, StopwordsEn).cast("double")
+    val punct = (length(t) - length(regexp_replace(t, "[.,;:!?]", ""))).cast("double")
+    val upper = (length(t) - length(regexp_replace(t, "[A-Z]", ""))).cast("double")
+    df.withColumn("n_chars", length(t).cast("long"))
+      .withColumn("n_tokens", tokenCount(t).cast("long"))
+      .withColumn("avg_token_len_micro",
+        round(noSpace / nTok * 1e6, 0).cast("long"))
+      .withColumn("stopword_ratio_micro", round(stop / nTok * 1e6, 0).cast("long"))
+      .withColumn("punct_ratio_micro",
+        round(punct / length(t).cast("double") * 1e6, 0).cast("long"))
+      .withColumn("upper_ratio_micro",
+        round(upper / length(t).cast("double") * 1e6, 0).cast("long"))
+  }
+
+  /** n-gram-heuristic language id: stopword hit counts per language,
+    * argmax with 'en' priority, 'unk' when nothing matches.
+    */
+  def langId(text: Column): Column = {
+    val en = hits(text, StopwordsEn)
+    val de = hits(text, StopwordsDe)
+    val fr = hits(text, StopwordsFr)
+    when(en >= de && en >= fr && en > 0, lit("en"))
+      .when(de >= fr && de > 0, lit("de"))
+      .when(fr > 0, lit("fr"))
+      .otherwise(lit("unk"))
+  }
+
+  /** Rolling polynomial hash of the character stream:
+    * h = fold(chars)(h * 31 + code) mod 1e9+7. Karp-Rabin-style document
+    * fingerprint, exactly reproducible in DuckDB via
+    * list_reduce(list_transform(str_split(text,''), ascii), ...).
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(split(text, ""), lit(0L),
+      (acc, c) => (acc * 31L + ascii(c)) % 1000000007L)
+
+  /** 3-token shingles of a document (w1 w2 w3 strings), distinct. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      transform(sequence(lit(0), size(toks) - k),
+        i => array_join(slice(toks, i + 1, lit(k)), " ")))
+  }
+
+  /** Jaccard similarity of two shingle-set columns (distinct-set
+    * semantics, matching DuckDB list_intersect/list_distinct).
+    */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+}
