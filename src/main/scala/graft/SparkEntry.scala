@@ -38,7 +38,15 @@ object SparkEntry {
        |verts AS (SELECT DISTINCT id FROM nbrs)""".stripMargin
 
   /** 5 unrolled PageRank supersteps over an `edges`/`nbrs` CTE pair. */
-  private def pagerankSqlTail: String = {
+  private def pagerankSqlTail: String =
+    s"""$pagerankSqlCtes
+       |SELECT id, CAST(round(rank * 1e9, 0) AS BIGINT) AS rank_nano
+       |FROM r5 ORDER BY id""".stripMargin
+
+  /** The CTE chain alone (deg, r0..r5) for composition into other
+    * oracles (e.g. the Spearman harness).
+    */
+  private def pagerankSqlCtes: String = {
     def step(prev: String, k: Int): String =
       s"""r$k AS (
          |  SELECT d.id,
@@ -55,9 +63,7 @@ object SparkEntry {
        |${step("r1", 2)},
        |${step("r2", 3)},
        |${step("r3", 4)},
-       |${step("r4", 5)}
-       |SELECT id, CAST(round(rank * 1e9, 0) AS BIGINT) AS rank_nano
-       |FROM r5 ORDER BY id""".stripMargin
+       |${step("r4", 5)}""".stripMargin
   }
 
   /** Arithmetic reconstruction of the synthesized link table (one row
@@ -100,7 +106,51 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graphAndIngestQueries ++ textQueries ++ annQueries ++
-      eventQueries ++ relQueries
+      eventQueries ++ relQueries ++ embedQueries
+
+  private def embedQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // graphem's signature capability — not SQL-expressible (rows-only
+    // driver check); invariants are covered by EmbedSpec.
+    "q_embed_radii" -> ((s, dir) => {
+      val e = edges(s, dir)
+      val pos = graft.embed.ForceLayout.run(s, e,
+        graft.embed.SpectralInit.run(s, e, d = 2), iterations = 3)
+      graft.embed.ForceLayout.radii(pos)
+        .select(col("id"), round(col("radius") * 1e6, 0).cast("long")
+          .as("radius_micro"))
+        .orderBy("id")
+    }),
+
+    "q_embed_seeds" -> ((s, dir) => {
+      val e = edges(s, dir)
+      val pos = graft.embed.ForceLayout.run(s, e,
+        graft.embed.SpectralInit.run(s, e, d = 2), iterations = 3)
+      graft.embed.Influence.seedSelection(pos, 10)
+        .select(col("id"), round(col("radius") * 1e6, 0).cast("long")
+          .as("radius_micro"))
+    }),
+
+    "q_influence_ic" -> ((s, dir) => {
+      import s.implicits._
+      val e = edges(s, dir)
+      val seeds = Edges.degrees(e).orderBy(desc("degree"), col("id"))
+        .limit(5).select("id").collect().map(_.getLong(0)).toSeq
+      val n = graft.embed.Influence.icInfluence(s, e, seeds, p = 0.02)
+      Seq(n).toDF("influenced")
+    }),
+
+    // Spearman over integer columns (identical in both engines, so
+    // ranks — and therefore rho — are exactly comparable)
+    "q_spearman_deg_pr" -> ((s, dir) => {
+      val e = edges(s, dir)
+      val deg = Edges.degrees(e)
+      val pr = PageRank.fixedIterUndirected(e, 5)
+        .select(col("id"),
+          round(col("rank") * 1e9, 0).cast("long").as("rank_nano"))
+      graft.embed.Correlation.spearmanDf(
+        deg.join(pr, "id"), "degree", "rank_nano")
+    }),
+  )
 
   private def graphAndIngestQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // graph layer over the lineitem-derived edge table
@@ -385,7 +435,26 @@ object SparkEntry {
          |nbrs AS (SELECT src AS id, dst AS nbr FROM edges
          |         UNION ALL SELECT dst AS id, src AS nbr FROM edges),
          |$pagerankSqlTail""".stripMargin,
-  ) ++ textOracles ++ annOracles ++ eventOracles ++ relOracles
+  ) ++ textOracles ++ annOracles ++ eventOracles ++ relOracles ++
+    spearmanOracle
+
+  private def spearmanOracle: Map[String, String] = Map(
+    "q_spearman_deg_pr" ->
+      s"""WITH $edgesSqlCte,
+         |$pagerankSqlCtes,
+         |j AS (SELECT d.id, CAST(d.deg AS BIGINT) AS degree,
+         |             CAST(round(r5.rank * 1e9, 0) AS BIGINT) AS rank_nano
+         |      FROM deg d JOIN r5 ON r5.id = d.id),
+         |ca AS (SELECT degree AS v, count(*) AS c FROM j GROUP BY 1),
+         |ra AS (SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+         |              - c + (c + 1) / 2.0 AS r FROM ca),
+         |cb AS (SELECT rank_nano AS v, count(*) AS c FROM j GROUP BY 1),
+         |rb AS (SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+         |              - c + (c + 1) / 2.0 AS r FROM cb)
+         |SELECT CAST(round(corr(ra.r, rb.r) * 1e6, 0) AS BIGINT)
+         |       AS spearman_micro
+         |FROM j JOIN ra ON ra.v = j.degree JOIN rb ON rb.v = j.rank_nano""".stripMargin,
+  )
 
   private val enIn = TextOps.StopwordsEn.map("'" + _ + "'").mkString(", ")
   private val deIn = TextOps.StopwordsDe.map("'" + _ + "'").mkString(", ")

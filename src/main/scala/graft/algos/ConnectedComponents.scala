@@ -73,7 +73,7 @@ object ConnectedComponents {
       var next = smallStar(largeStar(e))
       next = checkpoint match {
         case Some(cm) => cm.commit(round, next, Map("edges" -> sig._1.toDouble))
-        case None => next.localCheckpoint(true)
+        case None => graft.core.Lineage.truncate(next)
       }
       val nsig = checksum(next)
       e.unpersist(false)

@@ -84,7 +84,7 @@ object PageRank {
     // logical plan DOUBLES every iteration — 2^k nodes by iteration k,
     // OOMing the driver long before the data does. Parquet checkpoints
     // truncate it; between them, eager localCheckpoint does.
-    var state = startState.localCheckpoint(true)
+    var state = graft.core.Lineage.truncate(startState)
     var iter = startIter
     var err = Double.MaxValue
     var converged = false
@@ -116,9 +116,8 @@ object PageRank {
           col("outdeg"))
 
       // Materialize new state + delta in one pass over a truncated plan.
-      val joinedOld = stepped.as("nw")
-        .join(state.select(col("id"), col("rank").as("old")), Seq("id"))
-        .localCheckpoint(true)
+      val joinedOld = graft.core.Lineage.truncate(stepped.as("nw")
+        .join(state.select(col("id"), col("rank").as("old")), Seq("id")))
       err = joinedOld.agg(sum(abs(col("rank") - col("old")))).head().getDouble(0)
       var newState = joinedOld.select(col("id"), col("rank"), col("outdeg"))
 

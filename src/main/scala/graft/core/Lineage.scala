@@ -1,0 +1,23 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Lineage discipline for iterative algorithms.
+  *
+  * Iterative DataFrame loops have TWO driver-side blowups:
+  *  1. logical-plan growth — state is referenced >= twice per superstep,
+  *     so without truncation the plan doubles per iteration;
+  *  2. statistics growth — localCheckpoint inherits the origin plan's
+  *     sizeInBytes estimate, and join estimates multiply, so the BigInt
+  *     estimate squares per iteration and Catalyst's stats visitor
+  *     drowns in huge-BigInt arithmetic.
+  *
+  * truncate() fixes both: eager local checkpoint + fresh default stats.
+  * Parquet checkpoints (CheckpointManager) also fix both and add
+  * durability; use them at the cadence resumability needs, truncate()
+  * in between.
+  */
+object Lineage {
+  def truncate(df: DataFrame): DataFrame = Bridge.localCheckpointFresh(df)
+}

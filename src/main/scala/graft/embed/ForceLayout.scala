@@ -1,0 +1,181 @@
+package graft.embed
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.core.{CheckpointManager, Ids}
+
+/** Force-directed refinement of a spectral embedding — the Spark
+  * re-expression of GraphEmbedder.update_positions / run_layout
+  * (/root/reference/graphem/embedder.py:252-273), preserving the
+  * reference's exact semantics (SURVEY §2.13 quirks):
+  *
+  *  - spring force per edge: dist = |p2-p1| + 1e-6,
+  *    f = -k_attr * (dist - L_min) * (p2-p1)/dist, applied +f to src
+  *    and -f to dst (embedder.py:174-187);
+  *  - intersection forces on a FIXED sample of edge midpoints — the
+  *    reference samples with PRNGKey(0) every iteration (quirk #1), so
+  *    the subset never changes; we take the sample_size smallest
+  *    xxhash64(eid) which is likewise iteration-independent;
+  *  - kNN of sampled midpoints against all midpoints, self dropped
+  *    (embedder.py:146-170) — broadcast join + per-query top-k window;
+  *  - candidate pair validity: i < j and no shared endpoint; 2D
+  *    orientation intersection test on dims 0,1 ONLY regardless of d
+  *    (quirk #2, embedder.py:215-224);
+  *  - repulsion k_inter*(v-mid)/d^2 with d = |v-mid| + 1e-6 from the
+  *    4-point midpoint (embedder.py:227-237);
+  *  - per-dimension z-score normalization with +1e-6 eps each iteration
+  *    (quirk #4, embedder.py:263) — population stddev.
+  *
+  * Superstep = 2 gather joins + broadcast kNN + 1 scatter aggregation,
+  * all Catalyst-planned; positions are checkpointed (manifest lineage)
+  * or localCheckpoint'ed every iteration.
+  */
+object ForceLayout {
+
+  case class Config(
+      d: Int = 2,
+      lMin: Double = 1.0,
+      kAttr: Double = 0.2,
+      kInter: Double = 0.5,
+      nNeighbors: Int = 10,
+      sampleSize: Int = 256,
+      checkpoint: Option[CheckpointManager] = None,
+      checkpointInterval: Int = 5)
+
+  private def norm2(v: Column): Column =
+    sqrt(aggregate(v, lit(0.0), (s, x) => s + x * x))
+
+  /** One run: `positions` (id, pos array<double>[d]) refined for
+    * `iterations` supersteps over canonical `edges`.
+    */
+  def run(spark: SparkSession, edges: DataFrame, positions: DataFrame,
+          iterations: Int, cfg: Config = Config()): DataFrame = {
+    val d = cfg.d
+    // stable edge ordinals (deterministic across parallelism)
+    val eidEdges = Ids.dense(spark, edges.select("src", "dst"),
+      Seq("src", "dst"), "eid").persist(StorageLevel.MEMORY_AND_DISK)
+    val edgeCount = eidEdges.count()
+    val sampleSize = math.min(cfg.sampleSize, edgeCount).toInt
+
+    var pos = graft.core.Lineage.truncate(positions)
+    var iter = 0
+    while (iter < iterations) {
+      // gather endpoint positions
+      val ep = eidEdges
+        .join(pos.select(col("id").as("src"), col("pos").as("p1")), "src")
+        .join(pos.select(col("id").as("dst"), col("pos").as("p2")), "dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+      // spring forces (2 rows per edge)
+      val diff = zip_with(col("p2"), col("p1"), (a, b) => a - b)
+      val withF = ep.select(col("src"), col("dst"),
+        diff.as("diff"), (norm2(diff) + lit(1e-6)).as("dist"))
+        .select(col("src"), col("dst"),
+          transform(col("diff"), x =>
+            lit(-cfg.kAttr) * (col("dist") - cfg.lMin) * x / col("dist"))
+            .as("f"))
+      val springRows = withF.select(col("src").as("id"), col("f"))
+        .union(withF.select(col("dst").as("id"),
+          transform(col("f"), x => -x).as("f")))
+
+      // midpoints + fixed deterministic sample
+      val mids = ep.select(col("eid"), col("src"), col("dst"),
+        col("p1"), col("p2"),
+        zip_with(col("p1"), col("p2"), (a, b) => (a + b) * 0.5).as("mid"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val sampled = mids
+        .orderBy(xxhash64(col("eid")), col("eid")).limit(sampleSize)
+        .select(col("eid").as("i_eid"), col("src").as("i_src"),
+          col("dst").as("i_dst"), col("p1").as("ip1"), col("p2").as("ip2"),
+          col("mid").as("imid"))
+
+      // kNN: broadcast sampled against all midpoints, top-k by L2
+      val sqdist = aggregate(
+        zip_with(col("imid"), col("mid"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (s, x) => s + x)
+      val pairsAll = mids.crossJoin(broadcast(sampled))
+        .select(col("i_eid"), col("i_src"), col("i_dst"),
+          col("ip1"), col("ip2"),
+          col("eid").as("j_eid"), col("src").as("j_src"),
+          col("dst").as("j_dst"), col("p1").as("jp1"), col("p2").as("jp2"),
+          sqdist.as("d2"))
+      val w = Window.partitionBy("i_eid").orderBy(col("d2").asc, col("j_eid").asc)
+      val knn = pairsAll.withColumn("rn", row_number().over(w))
+        .where(col("rn") > 1 && col("rn") <= cfg.nNeighbors + 1)
+
+      // candidate validity + 2D intersection test
+      val valid = knn.where(col("i_eid") < col("j_eid"))
+        .where(col("i_src") =!= col("j_src") && col("i_src") =!= col("j_dst") &&
+          col("i_dst") =!= col("j_src") && col("i_dst") =!= col("j_dst"))
+      def ox(p: String): Column = element_at(col(p), 1)
+      def oy(p: String): Column = element_at(col(p), 2)
+      def orient(a: String, b: String, c: String): Column =
+        (ox(b) - ox(a)) * (oy(c) - oy(a)) - (oy(b) - oy(a)) * (ox(c) - ox(a))
+      val inter = valid
+        .withColumn("o1", orient("ip1", "ip2", "jp1"))
+        .withColumn("o2", orient("ip1", "ip2", "jp2"))
+        .withColumn("o3", orient("jp1", "jp2", "ip1"))
+        .withColumn("o4", orient("jp1", "jp2", "ip2"))
+        .where(col("o1") * col("o2") < 0 && col("o3") * col("o4") < 0)
+        .withColumn("imid4",
+          zip_with(zip_with(col("ip1"), col("ip2"), (a, b) => a + b),
+            zip_with(col("jp1"), col("jp2"), (a, b) => a + b),
+            (s1, s2) => (s1 + s2) / 4.0))
+
+      // repulsion rows for the 4 endpoints of each intersecting pair
+      def repulse(vid: Column, vpos: Column): Column = {
+        val dcol = norm2(zip_with(vpos, col("imid4"), (a, b) => a - b)) + lit(1e-6)
+        transform(zip_with(vpos, col("imid4"), (a, b) => a - b),
+          x => lit(cfg.kInter) * x / (dcol * dcol))
+      }
+      val interRows = Seq(
+        ("i_src", "ip1"), ("i_dst", "ip2"), ("j_src", "jp1"), ("j_dst", "jp2"))
+        .map { case (idc, pc) =>
+          inter.select(col(idc).as("id"), repulse(col(idc), col(pc)).as("f"))
+        }.reduce(_ union _)
+
+      // scatter: sum forces per vertex per dimension
+      val allRows = springRows.union(interRows)
+      val agged = allRows.groupBy("id").agg(
+        array((0 until d).map(j =>
+          sum(element_at(col("f"), j + 1))): _*).as("force"))
+
+      val moved = pos.join(agged, Seq("id"), "left")
+        .select(col("id"), zip_with(col("pos"),
+          coalesce(col("force"), array((0 until d).map(_ => lit(0.0)): _*)),
+          (p, f) => p + f).as("pos"))
+
+      // z-score normalize per dimension (population std + 1e-6)
+      val statCols = (0 until d).flatMap(j => Seq(
+        avg(element_at(col("pos"), j + 1)).as(s"m$j"),
+        stddev_pop(element_at(col("pos"), j + 1)).as(s"s$j")))
+      val stats = moved.agg(statCols.head, statCols.tail: _*)
+      val normalized = moved.crossJoin(broadcast(stats))
+        .select(col("id"), array((0 until d).map(j =>
+          (element_at(col("pos"), j + 1) - col(s"m$j")) /
+            (col(s"s$j") + lit(1e-6))): _*).as("pos"))
+
+      val next = cfg.checkpoint match {
+        case Some(cm) if (iter + 1) % cfg.checkpointInterval == 0 ||
+          iter == iterations - 1 =>
+          cm.commit(iter, normalized, Map("iteration" -> iter.toDouble))
+        case _ => graft.core.Lineage.truncate(normalized)
+      }
+      ep.unpersist(false)
+      mids.unpersist(false)
+      pos = next
+      iter += 1
+    }
+    eidEdges.unpersist(false)
+    pos
+  }
+
+  /** Radial distances — the centrality proxy
+    * (/root/reference/graphem/benchmark.py:110-111).
+    */
+  def radii(positions: DataFrame): DataFrame =
+    positions.select(col("id"), norm2(col("pos")).as("radius"))
+}

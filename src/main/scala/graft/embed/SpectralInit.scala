@@ -1,0 +1,105 @@
+package graft.embed
+
+import breeze.linalg.{cholesky, inv, DenseMatrix}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.core.DetRandom
+import graft.graph.Edges
+
+/** Spectral initialization: the d+1 smallest eigenvectors of the
+  * normalized Laplacian, dropping the trivial one — the Spark
+  * re-expression of `eigsh(laplacian(adj, normed=True), d+1, 'SM')`
+  * (/root/reference/graphem/embedder.py:134-144).
+  *
+  * ARPACK is replaced by distributed orthogonal iteration on
+  * P = (I + D^-1/2 A D^-1/2)/2, whose TOP d+1 eigenvectors are exactly
+  * the smallest-eigenvalue eigenvectors of the normalized Laplacian
+  * (L = I - M, P = (2I - L)/2, spectrum mapped to [0,1] so iteration
+  * converges monotonically).
+  *
+  * Per iteration: one SpMV = gather join (neighbor states) + hash
+  * aggregation, on all d+1 columns at once; then a (d+1)x(d+1) Gram
+  * matrix (one tiny aggregate) is Cholesky-factorized on the DRIVER and
+  * the inverse factor applied as a broadcast linear combination — the
+  * distributed tall-skinny QR. Eigenvector sign/rotation is ambiguous
+  * exactly as in ARPACK (reference quirk #5): consumers must be
+  * sign-invariant.
+  */
+object SpectralInit {
+
+  /** Returns (id, pos: array<double>[d]). */
+  def run(spark: SparkSession, edges: DataFrame, d: Int,
+          maxIter: Int = 60, seed: Long = 42): DataFrame = {
+    val k = d + 1
+    val nbrs = Edges.neighbors(edges)
+    val deg = Edges.degrees(edges)
+      .select(col("id"), col("degree").cast("double").as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val adj = nbrs.join(deg.select(col("id").as("nbr"), col("deg").as("ndeg")), "nbr")
+      .join(deg, "id")
+      .select(col("id"), col("nbr"),
+        (lit(1.0) / sqrt(col("deg") * col("ndeg"))).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    adj.count()
+
+    // deterministic random init, column 0 seeded toward the trivial
+    // eigenvector direction (sqrt(deg)) to speed convergence
+    var x = graft.core.Lineage.truncate(deg.select(col("id"), array(
+      (0 until k).map { j =>
+        if (j == 0) sqrt(col("deg"))
+        else DetRandom.uniform(seed + j, col("id")) - lit(0.5)
+      }: _*).as("x")))
+
+    var iter = 0
+    var prevGram: Option[DenseMatrix[Double]] = None
+    var done = false
+    while (iter < maxIter && !done) {
+      // y = P x = (x + M x)/2 ; M x via gather join + agg
+      val msgs = adj.join(x.withColumnRenamed("id", "nbr"), "nbr")
+        .select(col("id"), transform(col("x"), v => v * col("w")).as("m"))
+      val gathered = msgs.groupBy("id").agg(
+        array((0 until k).map(j =>
+          sum(element_at(col("m"), j + 1))): _*).as("mx"))
+      val y = graft.core.Lineage.truncate(x.join(gathered, Seq("id"), "left")
+        .select(col("id"), zip_with(col("x"),
+          coalesce(col("mx"), array((0 until k).map(_ => lit(0.0)): _*)),
+          (xi, mi) => (xi + mi) * 0.5).as("x")))
+
+      // Gram matrix G = Y^T Y (k x k, tiny) -> driver Cholesky
+      val gramCols = for (a <- 0 until k; b <- a until k) yield
+        sum(element_at(col("x"), a + 1) * element_at(col("x"), b + 1))
+          .as(s"g_${a}_$b")
+      val g = y.agg(gramCols.head, gramCols.tail: _*).head()
+      val gm = DenseMatrix.zeros[Double](k, k)
+      var idx = 0
+      for (a <- 0 until k; b <- a until k) {
+        gm(a, b) = g.getDouble(idx); gm(b, a) = gm(a, b); idx += 1
+      }
+      // X := Y * (L^T)^-1  with G = L L^T  => X^T X = I
+      val lInvT = inv(cholesky(gm)).t
+      val coefCols = (0 until k).map { j =>
+        (0 to j).map(i =>
+          element_at(col("x"), i + 1) * lInvT(i, j))
+          .reduce(_ + _).as(s"c$j")
+      }
+      val xn = graft.core.Lineage.truncate(
+        y.select((col("id") +: coefCols): _*)
+          .select(col("id"),
+            array((0 until k).map(j => col(s"c$j")): _*).as("x")))
+      x = xn
+      // convergence: Gram matrix (pre-orthonormalization) stabilizes
+      val delta = prevGram.map(pg => breeze.linalg.max(
+        breeze.numerics.abs(gm - pg))).getOrElse(Double.MaxValue)
+      val scale = breeze.linalg.max(breeze.numerics.abs(gm))
+      done = delta < 1e-9 * math.max(scale, 1e-12)
+      prevGram = Some(gm)
+      iter += 1
+    }
+    deg.unpersist(false)
+    adj.unpersist(false)
+    // drop the trivial leading eigenvector: columns 1..d
+    x.select(col("id"), slice(col("x"), 2, d).as("pos"))
+  }
+}

@@ -27,34 +27,9 @@ import org.apache.spark.storage.StorageLevel
 object UrlDictionary {
 
   /** Build (url, id) with dense ids in url sort order. */
-  def build(spark: SparkSession, urls: DataFrame, partitions: Int = 0): DataFrame = {
-    val p = if (partitions > 0) partitions
-      else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val distinctUrls = urls.select(col("url")).distinct()
-    val ranged = distinctUrls.repartitionByRange(p, col("url"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // rank within each range partition — no global sort anywhere
-    val local = ranged
-      .withColumn("pid", spark_partition_id())
-      .withColumn("rn",
-        row_number().over(Window.partitionBy("pid").orderBy("url")))
-    val counts = ranged.groupBy(spark_partition_id().as("pid"))
-      .agg(count(lit(1)).as("cnt"))
-      .orderBy("pid").collect()
-    var off = 0L
-    val offsets = counts.map { r =>
-      val o = (r.getInt(0), off); off += r.getLong(1); o
-    }
-    val offsetsDf = spark.createDataFrame(offsets.toSeq).toDF("pid", "offset")
-    // MUST materialize before unpersisting `ranged`: the ids are only
-    // correct against the exact range bounds the offsets were collected
-    // from, and a lazy recompute of repartitionByRange re-samples bounds.
-    val dict = local.join(broadcast(offsetsDf), "pid")
-      .select(col("url"), (col("offset") + col("rn") - 1L).as("id"))
-      .localCheckpoint(true)
-    ranged.unpersist(false)
-    dict
-  }
+  def build(spark: SparkSession, urls: DataFrame, partitions: Int = 0): DataFrame =
+    graft.core.Ids.dense(spark, urls.select(col("url")).distinct(),
+      Seq("url"), "id", partitions)
 
   /** Map a (src_url, dst_url) table to (src, dst) long ids via two
     * dictionary joins.

@@ -12,4 +12,31 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eager localCheckpoint that does NOT inherit the origin plan's
+    * statistics.
+    *
+    * Dataset.localCheckpoint copies the source plan's sizeInBytes
+    * estimate into the resulting LogicalRDD (originStats). In an
+    * iterative join loop the join size estimate is the PRODUCT of its
+    * children's estimates, so the carried-over BigInt SQUARES every
+    * iteration — its digit count doubles, and Catalyst's stats visitor
+    * ends up multiplying million-digit BigInts on the driver (observed:
+    * iteration wall-time x3-4 per superstep from iteration ~18).
+    * Rebuilding the LogicalRDD with originStats = None resets the
+    * estimate to the default leaf size each iteration.
+    */
+  def localCheckpointFresh(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.classic
+    import org.apache.spark.sql.execution.LogicalRDD
+    val cp = df.localCheckpoint(true).asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+    val spark = cp.sparkSession
+    val lr = cp.queryExecution.analyzed.collectFirst {
+      case l: LogicalRDD => l
+    }.getOrElse(throw new IllegalStateException(
+      "localCheckpoint did not produce a LogicalRDD"))
+    val fresh = LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
+      lr.outputOrdering, lr.isStreaming, None)(spark, None, None)
+    classic.Dataset.ofRows(spark, fresh)
+  }
 }

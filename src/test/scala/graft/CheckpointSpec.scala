@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.algos.PageRank
+import graft.core.CheckpointManager
+import graft.generators.Generators
+
+/** Resumability contract (north_rule): kill at iteration k, resume,
+  * identical final scores; manifests carry per-partition lineage.
+  */
+class CheckpointSpec extends SparkSuite {
+
+  test("PageRank resumes mid-algorithm to identical scores") {
+    val e = Generators.er(spark, 200, 0.04, 5L)
+    // uninterrupted reference run
+    val full = PageRank.runUndirected(spark, e, PageRank.Config(maxIter = 40))
+    val expect = full.ranks.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // interrupted run: stop after 3 iterations, then resume
+    val dir = Files.createTempDirectory("graft-ckpt").toString
+    val cm1 = new CheckpointManager(spark, dir)
+    PageRank.runUndirected(spark, e,
+      PageRank.Config(maxIter = 3, checkpoint = Some(cm1)))
+    assert(cm1.latestIteration().contains(2))
+
+    val cm2 = new CheckpointManager(spark, dir)
+    val resumed = PageRank.runUndirected(spark, e,
+      PageRank.Config(maxIter = 40, checkpoint = Some(cm2)))
+    val got = resumed.ranks.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size == expect.size)
+    expect.foreach { case (id, v) =>
+      assert(math.abs(got(id) - v) < 1e-12, s"vertex $id: ${got(id)} vs $v")
+    }
+  }
+
+  test("manifest records lineage, partitions, metrics") {
+    // P10 does not converge within 2 iterations, so both manifests exist
+    val e = edgesOf(P10)
+    val dir = Files.createTempDirectory("graft-ckpt2").toString
+    val cm = new CheckpointManager(spark, dir)
+    PageRank.runUndirected(spark, e,
+      PageRank.Config(maxIter = 2, checkpoint = Some(cm)))
+    val m0 = cm.manifestJson(0)
+    val m1 = cm.manifestJson(1)
+    assert(m0.contains("\"iteration\":0") && m0.contains("\"parent\":null"))
+    assert(m1.contains("\"parent\":0"))
+    assert(m0.contains("\"partitions\":[{\"file\":"))
+    assert(m0.contains("\"err\":"))
+    assert(m0.contains("\"rows\":10"))
+  }
+
+  test("resume() loads the latest committed snapshot") {
+    val dir = Files.createTempDirectory("graft-ckpt3").toString
+    val cm = new CheckpointManager(spark, dir)
+    import spark.implicits._
+    cm.commit(0, Seq((1L, 0.5)).toDF("id", "rank"), Map("err" -> 1.0))
+    cm.commit(1, Seq((1L, 0.6)).toDF("id", "rank"), Map("err" -> 0.5))
+    val (iter, snap) = cm.resume().get
+    assert(iter == 1)
+    assert(snap.collect().head.getDouble(1) == 0.6)
+  }
+}
