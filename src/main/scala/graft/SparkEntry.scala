@@ -139,6 +139,22 @@ object SparkEntry {
       Seq(n).toDF("influenced")
     }),
 
+    "q_eigencentrality" -> ((s, dir) =>
+      graft.algos.EigenvectorCentrality.fixedIter(edges(s, dir), 5)
+        .select(col("id"),
+          round(col("score") * 1e9, 0).cast("long").as("score_nano"))
+        .orderBy("id")),
+
+    // multimodal plumbing: binary payload -> feature vector -> ANN
+    // (decode is a documented deterministic stub; rows-only check)
+    "q_media_features" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.synthesize(s, 500)
+      val feats = graft.multimodal.Multimodal.featureTable(media)
+      graft.ann.Ann.bruteForceTopK(feats, feats.where(col("media_id") < 5), 3,
+        idCol = "media_id", vecCol = "features")
+        .orderBy("query_id", "rank")
+    }),
+
     // Spearman over integer columns (identical in both engines, so
     // ranks — and therefore rho — are exactly comparable)
     "q_spearman_deg_pr" -> ((s, dir) => {
@@ -436,7 +452,29 @@ object SparkEntry {
          |         UNION ALL SELECT dst AS id, src AS nbr FROM edges),
          |$pagerankSqlTail""".stripMargin,
   ) ++ textOracles ++ annOracles ++ eventOracles ++ relOracles ++
-    spearmanOracle
+    spearmanOracle ++ eigenOracle
+
+  private def eigenOracle: Map[String, String] = Map(
+    "q_eigencentrality" -> {
+      def step(prev: String, k: Int): String =
+        s"""s$k AS (SELECT v.id, v.score + coalesce(g.s, 0.0) AS raw
+           |        FROM $prev v LEFT JOIN
+           |          (SELECT n.nbr AS id, sum(r.score) AS s
+           |           FROM nbrs n JOIN $prev r ON n.id = r.id
+           |           GROUP BY n.nbr) g ON g.id = v.id),
+           |e$k AS (SELECT id, raw / (SELECT sqrt(sum(raw * raw)) FROM s$k)
+           |               AS score FROM s$k)""".stripMargin
+      s"""WITH $edgesSqlCte,
+         |e0 AS (SELECT id, 1.0 AS score FROM verts),
+         |${step("e0", 1)},
+         |${step("e1", 2)},
+         |${step("e2", 3)},
+         |${step("e3", 4)},
+         |${step("e4", 5)}
+         |SELECT id, CAST(round(score * 1e9, 0) AS BIGINT) AS score_nano
+         |FROM e5 ORDER BY id""".stripMargin
+    },
+  )
 
   private def spearmanOracle: Map[String, String] = Map(
     "q_spearman_deg_pr" ->

@@ -1,0 +1,89 @@
+package graft.algos
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.graph.Edges
+
+/** Eigenvector centrality — the reference delegates to
+  * nx.eigenvector_centrality_numpy and falls back to DEGREE centrality
+  * when the eigensolver fails (/root/reference/graphem/benchmark.py:61-72,
+  * quirk #9). Spark re-expression: distributed power iteration on the
+  * adjacency (gather join + hash agg per step), L2-normalized each
+  * step, convergence when sum |x_{t+1} - x_t| < n * tol (nx's
+  * eigenvector_centrality criterion).
+  */
+object EigenvectorCentrality {
+
+  case class Result(scores: DataFrame, iterations: Int, converged: Boolean)
+
+  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 100,
+          tol: Double = 1e-6): Result = {
+    val nbrs = Edges.neighbors(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = Edges.vertices(edges)
+    val n = verts.count()
+    var x = graft.core.Lineage.truncate(
+      verts.select(col("id"), lit(1.0 / math.sqrt(n.toDouble)).as("score")))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val msgs = nbrs.join(x, Seq("id"))
+        .select(col("nbr").as("mid"), col("score"))
+      val gathered = msgs.groupBy(col("mid")).agg(sum(col("score")).as("s"))
+      // x' = x + A x (nx adds the previous vector to damp oscillation on
+      // bipartite structures), then L2 normalize
+      val raw = graft.core.Lineage.truncateLazy(
+        x.join(gathered, x("id") === gathered("mid"), "left")
+          .select(x("id"),
+            (col("score") + coalesce(col("s"), lit(0.0))).as("raw"),
+            col("score").as("old")))
+      val aggRow = raw.agg(
+        sqrt(sum(col("raw") * col("raw"))).as("norm")).head()
+      val norm = math.max(aggRow.getDouble(0), 1e-300)
+      val next = graft.core.Lineage.truncateLazy(
+        raw.select(col("id"), (col("raw") / norm).as("score"),
+          col("old")))
+      val err = next.agg(sum(abs(col("score") - col("old")))).head().getDouble(0)
+      converged = err < n * tol
+      x = next.select(col("id"), col("score"))
+      iter += 1
+    }
+    nbrs.unpersist(false)
+    Result(x, iter, converged)
+  }
+
+  /** nx-compatible surface: eigenvector centrality, falling back to
+    * degree centrality (degree / (n-1)) when power iteration fails to
+    * converge — reference quirk #9.
+    */
+  def runWithFallback(spark: SparkSession, edges: DataFrame,
+                      maxIter: Int = 100, tol: Double = 1e-6): DataFrame = {
+    val r = run(spark, edges, maxIter, tol)
+    if (r.converged) r.scores
+    else {
+      val n = Edges.vertices(edges).count()
+      Edges.degrees(edges).select(col("id"),
+        (col("degree").cast("double") / (n - 1).toDouble).as("score"))
+    }
+  }
+
+  /** Fixed-iteration variant for the DuckDB oracle: k power-iteration
+    * steps of x' = normalize(x + A x), no convergence action inside.
+    */
+  def fixedIter(edges: DataFrame, iters: Int): DataFrame = {
+    val nbrs = Edges.neighbors(edges)
+    val verts = nbrs.select(col("id")).distinct()
+    var x = verts.select(col("id"), lit(1.0).as("score"))
+    for (_ <- 1 to iters) {
+      val msgs = nbrs.join(x, Seq("id"))
+        .select(col("nbr").as("mid"), col("score"))
+      val gathered = msgs.groupBy(col("mid")).agg(sum(col("score")).as("s"))
+      val raw = x.join(gathered, x("id") === gathered("mid"), "left")
+        .select(x("id"), (col("score") + coalesce(col("s"), lit(0.0))).as("raw"))
+      val nrm = raw.agg(sqrt(sum(col("raw") * col("raw"))).as("nrm"))
+      x = raw.crossJoin(nrm).select(col("id"), (col("raw") / col("nrm")).as("score"))
+    }
+    x
+  }
+}

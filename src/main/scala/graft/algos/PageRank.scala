@@ -98,7 +98,7 @@ object PageRank {
         else state.where(col("outdeg").isNull)
           .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
 
-      val msgs = links.join(state.hint("merge"), links("src") === state("id"))
+      val msgs = links.join(state, links("src") === state("id"))
         .select(col("dst").as("mid"), (col("rank") / col("outdeg")).as("contrib"))
       val gathered =
         if (cfg.saltedAgg)
@@ -109,19 +109,29 @@ object PageRank {
           msgs.groupBy(col("mid")).agg(sum(col("contrib")).as("msum"))
 
       val base = cfg.alpha * dangleSum / n + (1.0 - cfg.alpha) / n
-      val stepped = vertsDeg
-        .join(gathered, vertsDeg("id") === gathered("mid"), "left")
-        .select(vertsDeg("id"),
+      // single join per superstep: state carries (id, old rank, outdeg),
+      // so the gather output joins state directly — no second pass over
+      // a vertex table
+      val stepped = state
+        .join(gathered, state("id") === gathered("mid"), "left")
+        .select(state("id"),
           (lit(cfg.alpha) * coalesce(col("msum"), lit(0.0)) + lit(base)).as("rank"),
-          col("outdeg"))
+          col("outdeg"), state("rank").as("old"))
 
-      // Materialize new state + delta in one pass over a truncated plan.
-      val joinedOld = graft.core.Lineage.truncate(stepped.as("nw")
-        .join(state.select(col("id"), col("rank").as("old")), Seq("id")))
-      err = joinedOld.agg(sum(abs(col("rank") - col("old")))).head().getDouble(0)
-      var newState = joinedOld.select(col("id"), col("rank"), col("outdeg"))
-
-      converged = err < n * cfg.tol
+      val prevState = state
+      var newState: DataFrame = null
+      if (cfg.tol > 0) {
+        // Materialize new state + convergence delta in ONE job: the err
+        // aggregate is the first action on the lazily-checkpointed frame.
+        val joinedOld = graft.core.Lineage.truncateLazy(stepped)
+        err = joinedOld.agg(sum(abs(col("rank") - col("old")))).head().getDouble(0)
+        newState = joinedOld.select(col("id"), col("rank"), col("outdeg"))
+        converged = err < n * cfg.tol
+      } else {
+        // fixed-superstep mode (tol <= 0): no convergence pass at all
+        newState = graft.core.Lineage.truncate(
+          stepped.select(col("id"), col("rank"), col("outdeg")))
+      }
       val doCkpt = cfg.checkpoint.isDefined &&
         ((iter + 1) % cfg.checkpointInterval == 0 || converged)
       if (doCkpt) {
@@ -129,6 +139,7 @@ object PageRank {
           newState, Map("err" -> err, "n" -> n.toDouble))
       }
       state = newState
+      graft.core.Lineage.release(prevState) // successor is materialized
       iter += 1
       steps += 1
     }

@@ -20,4 +20,17 @@ import org.apache.spark.sql.graftbridge.Bridge
   */
 object Lineage {
   def truncate(df: DataFrame): DataFrame = Bridge.localCheckpointFresh(df)
+
+  /** Lazy variant: lineage is cut but materialization happens on the
+    * caller's first action — use when that action is an aggregate you
+    * need anyway (e.g. a convergence delta), folding two jobs into one.
+    */
+  def truncateLazy(df: DataFrame): DataFrame =
+    Bridge.localCheckpointFresh(df, eager = false)
+
+  /** Free the cached blocks behind a truncated frame once a successor
+    * state is materialized — long loops otherwise accumulate one cached
+    * RDD per superstep.
+    */
+  def release(df: DataFrame): Unit = Bridge.releaseCheckpoint(df)
 }

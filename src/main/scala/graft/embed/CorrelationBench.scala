@@ -1,0 +1,102 @@
+package graft.embed
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.algos.{EigenvectorCentrality, PageRank}
+import graft.core.DetRandom
+import graft.graph.Edges
+
+/** The benchmark harness — Spark re-expression of
+  * graphem.benchmark.run_benchmark / benchmark_correlations
+  * (/root/reference/graphem/benchmark.py:15-199): embed the graph,
+  * compute radii, and report the Spearman correlation of radius against
+  * each engine-computable centrality (degree, PageRank, eigenvector).
+  * Path-based centralities (betweenness/closeness/load) are oracle-only
+  * in the reference's own benches for n >= 5000
+  * (/root/reference/run_benchmarks.py:312-314) and are accepted here as
+  * optional precomputed columns.
+  */
+object CorrelationBench {
+
+  case class Report(
+      n: Long, m: Long,
+      layoutSecs: Double,
+      correlations: Map[String, Double])
+
+  def run(spark: SparkSession, edges: DataFrame,
+          d: Int = 3, layoutIters: Int = 20,
+          layoutCfg: ForceLayout.Config = ForceLayout.Config(d = 3,
+        lMin = 10.0, kAttr = 0.5, kInter = 0.1, nNeighbors = 15,
+        sampleSize = 512),
+      extraCentralities: Map[String, DataFrame] = Map()): Report = {
+    val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = e.count()
+    val n = Edges.vertices(e).count()
+
+    val t0 = System.nanoTime()
+    val init = SpectralInit.run(spark, e, d)
+    val pos = ForceLayout.run(spark, e, init, layoutIters, layoutCfg)
+    val layoutSecs = (System.nanoTime() - t0) / 1e9
+
+    val radii = ForceLayout.radii(pos)
+    val deg = Edges.degrees(e).select(col("id"), col("degree").cast("double"))
+      .toDF("id", "degree")
+    val pr = PageRank.runUndirected(spark, e).ranks
+      .withColumnRenamed("rank", "pagerank")
+    val eig = EigenvectorCentrality.runWithFallback(spark, e)
+      .withColumnRenamed("score", "eigenvector")
+
+    var joined = radii.join(deg, "id").join(pr, "id").join(eig, "id")
+    extraCentralities.foreach { case (name, df) =>
+      joined = joined.join(df.toDF("id", name), "id")
+    }
+    val measures = Seq("degree", "pagerank", "eigenvector") ++
+      extraCentralities.keys
+    val corrs = measures.map(mname =>
+      mname -> Correlation.spearman(joined, "radius", mname)).toMap
+    Report(n, m, layoutSecs, corrs)
+  }
+
+  /** Bootstrap confidence interval for a Spearman correlation —
+    * /root/reference/graphem/visualization.py:11-49: `replicates`
+    * seeded resamples with replacement, percentile bounds. Test-scale
+    * (collects the two columns to the driver like the reference does).
+    */
+  def bootstrapCI(df: DataFrame, a: String, b: String,
+                  replicates: Int = 200, lo: Double = 2.5, hi: Double = 97.5,
+                  seed: Long = 42): (Double, Double, Double) = {
+    val rows = df.select(col(a).cast("double"), col(b).cast("double"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val nLocal = rows.length
+    val rnd = new scala.util.Random(seed)
+    def spearmanLocal(xs: Array[(Double, Double)]): Double = {
+      def avgRank(v: Array[Double]): Array[Double] = {
+        val groups = v.zipWithIndex.groupBy(_._1)
+        val ranks = new Array[Double](v.length)
+        var c = 0
+        groups.toSeq.sortBy(_._1).foreach { case (_, idxs) =>
+          val r = c + (idxs.length + 1) / 2.0
+          idxs.foreach { case (_, i) => ranks(i) = r }
+          c += idxs.length
+        }
+        ranks
+      }
+      val ra = avgRank(xs.map(_._1)); val rb = avgRank(xs.map(_._2))
+      val ma = ra.sum / ra.length; val mb = rb.sum / rb.length
+      val cov = ra.zip(rb).map { case (x, y) => (x - ma) * (y - mb) }.sum
+      val sa = math.sqrt(ra.map(x => (x - ma) * (x - ma)).sum)
+      val sb = math.sqrt(rb.map(y => (y - mb) * (y - mb)).sum)
+      if (sa == 0 || sb == 0) Double.NaN else cov / (sa * sb)
+    }
+    val point = spearmanLocal(rows)
+    val reps = (0 until replicates).map { _ =>
+      spearmanLocal(Array.fill(nLocal)(rows(rnd.nextInt(nLocal))))
+    }.filterNot(_.isNaN).sorted
+    def pct(p: Double): Double =
+      if (reps.isEmpty) Double.NaN
+      else reps(math.min(reps.length - 1,
+        math.max(0, math.round(p / 100.0 * (reps.length - 1)).toInt)))
+    (point, pct(lo), pct(hi))
+  }
+}

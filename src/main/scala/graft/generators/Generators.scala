@@ -43,16 +43,17 @@ object Generators {
   }
 
   /** ER with expected edge count sampled directly (no n^2 scan): draws
-    * m = p*n*(n-1)/2 hash-indexed pairs, dedups. Approximates G(n,p) for
-    * sparse graphs at any scale.
+    * ~m = p*n*(n-1)/2 hash-indexed pairs, dedups. Approximates G(n,p)
+    * for sparse graphs at any scale (final count is slightly below m
+    * after self-loop/duplicate removal — no global limit, which would
+    * funnel everything through one partition).
     */
   def erSparse(spark: SparkSession, n: Long, p: Double, seed: Long = 0): DataFrame = {
     val m = (p * n * (n - 1) / 2).toLong
-    val draws = spark.range((m * 1.05).toLong + 16)
+    val draws = spark.range((m * 1.02).toLong + 16)
     Edges.canonicalize(draws.select(
       DetRandom.uniformLong(seed, n, col("id"), lit(0)).as("src"),
       DetRandom.uniformLong(seed, n, col("id"), lit(1)).as("dst")))
-      .limit(m.toInt.max(1))
   }
 
   /** Stochastic block model (generators.py:66-103). Returns edges;

@@ -26,10 +26,30 @@ object Bridge {
     * Rebuilding the LogicalRDD with originStats = None resets the
     * estimate to the default leaf size each iteration.
     */
-  def localCheckpointFresh(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  def localCheckpointFresh(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    localCheckpointFresh(df, eager = true)
+
+  /** Unpersist the RDD behind a localCheckpointFresh frame — call once
+    * the frame is provably dead (a successor checkpoint materialized).
+    */
+  def releaseCheckpoint(df: org.apache.spark.sql.DataFrame): Unit = {
     import org.apache.spark.sql.classic
     import org.apache.spark.sql.execution.LogicalRDD
-    val cp = df.localCheckpoint(true).asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+    df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.analyzed.collectFirst { case l: LogicalRDD => l }
+      .foreach(_.rdd.unpersist(false))
+  }
+
+  /** eager=false marks the RDD for checkpointing but defers
+    * materialization to the caller's FIRST action on the returned frame
+    * — letting an iterative loop fold "materialize new state" and
+    * "compute convergence delta" into one job.
+    */
+  def localCheckpointFresh(df: org.apache.spark.sql.DataFrame,
+                           eager: Boolean): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.classic
+    import org.apache.spark.sql.execution.LogicalRDD
+    val cp = df.localCheckpoint(eager).asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
     val spark = cp.sparkSession
     val lr = cp.queryExecution.analyzed.collectFirst {
       case l: LogicalRDD => l
