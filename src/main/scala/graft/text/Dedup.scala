@@ -59,14 +59,26 @@ object Dedup {
   def minHashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.7, numHashes: Int = 16,
                       bands: Int = 8): DataFrame = {
-    val buckets = lshBuckets(df, idCol, textCol, numHashes, bands)
+    // materialize shingles ONCE: both the LSH banding and the exact
+    // verification reuse them (recomputing the shingle+minhash column
+    // pipeline per join side dominated the wall-clock otherwise)
+    val sh = df.select(col(idCol).as("id"),
+        TextOps.shingles(col(textCol)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rowsPerBand = numHashes / bands
+    val sig = minHashSignature(col("sh"), numHashes)
+    val buckets = sh.select(col("id"), sig.as("sig"))
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",",
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
-    val sh = df.select(col(idCol).as("id"),
-      TextOps.shingles(col(textCol)).as("sh"))
     cands
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
