@@ -23,8 +23,28 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap is CLAMPED: the sf0.1 bench was measured fastest at 8 GB — a
+// 60-90 GB heap (driver-supplied SPARK_DRIVER_MEM) regressed the same
+// workload 3-6x via GC thrash (huge young gen, poor locality). Honor
+// smaller requests, cap the top end.
+def heapMb(s: String): Long = {
+  val t = s.trim.toLowerCase
+  try {
+    if (t.endsWith("g")) t.dropRight(1).toDouble.toLong * 1024L
+    else if (t.endsWith("m")) t.dropRight(1).toDouble.toLong
+    else if (t.endsWith("k")) t.dropRight(1).toDouble.toLong / 1024L
+    else t.toDouble.toLong / (1024L * 1024L) // bare bytes
+  } catch { case _: NumberFormatException => 8192L }
+}
+val graftHeapMb: Long =
+  math.max(1024L, math.min(heapMb(sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")), 12288L))
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${graftHeapMb}m",
+  "-XX:+UseG1GC",
 )
+// Pass forked-run stdout through UNPREFIXED: the bench/verify mains
+// print one machine-readable JSON line that the driver parses; sbt's
+// default logger prefixes it with "[info] " and breaks that parse.
+run / outputStrategy := Some(StdoutOutput)

@@ -50,20 +50,35 @@ object Bench {
     val headline = Seq(
       "q_pagerank", "q_cc", "q_triangles", "q_lpa", "q_edges",
       "q_pagerank_links", "q_dedup_exact", "q_minhash_dedup",
-      "q_ann_topk", "q_events_sessions", "q_rel_agg", "q_spearman_deg_pr")
+      "q_ann_topk", "q_events_sessions", "q_rel_agg", "q_spearman_deg_pr",
+      "q_embed_radii")
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          errors(name) = e.toString.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(180)
+          false
+        }
+      // a failed query reports -1, NOT its (fast) time-to-failure
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = (results :+ ("pagerank_converged" -> prSecs))
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum + prSecs
-    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""queries":$qs,"sf":"$sfDir",""" +
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum + prSecs
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":$qs,"errors":$errJson,"sf":"$sfDir",""" +
       s""""pagerank":{"edges":$m,"iterations":$iters,"secs":$prSecs,""" +
-      s""""edges_per_sec_per_superstep":$eps}}""")
+      s""""edges_per_sec_per_superstep":$eps}}"""
+    println(line)
+    // belt-and-braces for the driver's parse: also drop the line in a file
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
   }
 }

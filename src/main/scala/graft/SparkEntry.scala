@@ -272,14 +272,16 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // xxhash64-based — not expressible in DuckDB; rows-only checks
+    // portable-hash variants (rolling-hash seeded instead of xxhash64)
+    // so the DuckDB oracle can mirror the full pipeline; production
+    // default stays xxhash64
     "q_minhash_dedup" -> ((s, dir) =>
       Dedup.minHashNearDups(dupCorpus(s, dir), "doc_id", "text",
-        threshold = 0.9).orderBy("id_a", "id_b")),
+        threshold = 0.9, portableHash = true).orderBy("id_a", "id_b")),
 
     "q_simhash" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
-        Dedup.simHash(col("text")).as("simhash")).orderBy("doc_id")),
+        Dedup.simHashPortable(col("text")).as("simhash")).orderBy("doc_id")),
   )
 
   private def annQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -288,10 +290,11 @@ object SparkEntry {
       Ann.bruteForceTopK(emb, emb.where(col("vec_id") < 10), 5)
         .orderBy("query_id", "rank")
     }),
-    // LSH-bucketed approximate variant — rows-only check
+    // LSH-bucketed approximate variant (portable SRP hash, mirrored by
+    // the DuckDB oracle)
     "q_ann_lsh" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      Ann.lshTopK(emb, emb.where(col("vec_id") < 10), 5)
+      Ann.lshTopK(emb, emb.where(col("vec_id") < 10), 5, portableHash = true)
         .orderBy("query_id", "rank")
     }),
   )
@@ -434,8 +437,8 @@ object SparkEntry {
             }.mkString(" || ")} ||
          |    '</body></html>' AS html
          |  FROM documents, nn)
-         |SELECT sum(CASE WHEN regexp_extract(html, '<p>(.*?)</p>', 1) <> text
-         |           THEN 1 ELSE 0 END) AS mismatches FROM pages""".stripMargin,
+         |SELECT CAST(sum(CASE WHEN regexp_extract(html, '<p>(.*?)</p>', 1) <> text
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS mismatches FROM pages""".stripMargin,
 
     "q_pagerank_links" ->
       s"""WITH $linksSqlCte,
@@ -551,6 +554,55 @@ object SparkEntry {
          |FROM corpus GROUP BY md5(text) HAVING count(*) > 1
          |ORDER BY keep_id""".stripMargin,
 
+    // portable-hash mirrors: fp(s) = fold chars (acc*31 + ascii) mod
+    // 1e9+7; seeded h_k(fp) = (fp*(2k+3) + k) mod 1e9+7 — plain BIGINT
+    // arithmetic both engines compute identically
+    "q_minhash_dedup" ->
+      s"""WITH $dupCorpusCte,
+         |sh AS (SELECT doc_id,
+         |  list_distinct(list_transform(
+         |    range(0, len(str_split(text, ' ')) - 2),
+         |    i -> array_to_string(list_slice(str_split(text, ' '), i + 1, i + 3), ' '))) AS s
+         |  FROM corpus),
+         |fps AS (SELECT doc_id,
+         |  list_transform(s, x -> list_reduce(
+         |    list_transform(str_split(x, ''), c -> CAST(ascii(c) AS BIGINT)),
+         |    (a, b) -> (a * 31 + b) % 1000000007)) AS f
+         |  FROM sh WHERE len(s) > 0),
+         |sig AS (SELECT doc_id,
+         |  list_transform(range(0, 16), k ->
+         |    list_min(list_transform(f, v -> (v * (2 * k + 3) + k) % 1000000007))) AS g
+         |  FROM fps),
+         |bands AS (SELECT doc_id, b AS band,
+         |  list_reduce(list_slice(g, CAST(b * 2 + 1 AS INT), CAST(b * 2 + 2 AS INT)),
+         |    (a, x) -> (a * 31 + x) % 1000000007) AS bucket
+         |  FROM sig, range(0, 8) r(b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |ver AS (SELECT id_a, id_b,
+         |  CAST(round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.s, b.s))) * 1e6, 0) AS BIGINT) AS jaccard_micro
+         |  FROM cand JOIN sh a ON a.doc_id = cand.id_a JOIN sh b ON b.doc_id = cand.id_b)
+         |SELECT id_a, id_b, jaccard_micro FROM ver
+         |WHERE jaccard_micro >= 900000 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_simhash" ->
+      """WITH tk AS (SELECT doc_id,
+        |  list_transform(str_split(text, ' '), t -> list_reduce(
+        |    list_transform(str_split(t, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |    (a, b) -> (a * 31 + b) % 1000000007)) AS f
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(list_sum(list_transform(range(0, 64), b ->
+        |    CASE WHEN list_sum(list_transform(f, v ->
+        |        CASE WHEN ((v * (2 * b + 3) + b) % 1000000007) % 2 = 1
+        |             THEN 1 ELSE -1 END)) > 0
+        |      THEN (CASE WHEN b = 63 THEN -9223372036854775807 - 1
+        |                 ELSE (CAST(1 AS BIGINT) << CAST(b AS INT)) END)
+        |      ELSE 0 END)) AS BIGINT) AS simhash
+        |FROM tk ORDER BY doc_id""".stripMargin,
+
     "q_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id,
@@ -584,6 +636,69 @@ object SparkEntry {
         |        ORDER BY cosine_micro DESC, neighbor_id) AS rank FROM scored)
         |SELECT query_id, neighbor_id, cosine_micro, rank
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // portable SRP-LSH mirror: weight(seed,p,j) = parity of
+    // ((42 + t*1000 + p*1009 + j) * 2654435761) mod 1e9+7; projection
+    // folds left-to-right (list_reduce ≡ Spark aggregate), so bucket
+    // sign bits agree bit-for-bit
+    "q_ann_lsh" -> {
+      def bucketedSql(src: String, idAlias: String, vec: String): String =
+        s"""SELECT $idAlias, $vec, t,
+           |  CAST(list_sum(list_transform(range(0, 4), p ->
+           |    CASE WHEN list_reduce(list_transform(range(0, len($vec)), j ->
+           |        CASE WHEN (((42 + t * 1000 + p * 1009 + j) * 2654435761)
+           |                   % 1000000007) % 2 = 1
+           |             THEN $vec[j + 1] ELSE -$vec[j + 1] END),
+           |        (a, b) -> a + b) > 0
+           |      THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END))
+           |    AS BIGINT) AS b
+           |FROM $src, range(0, 8) r(t)""".stripMargin
+      s"""WITH c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |      FROM embeddings WHERE vec_id < 10),
+         |cb AS (${bucketedSql("c", "neighbor_id", "cv")}),
+         |qb AS (${bucketedSql("q", "query_id", "qv")}),
+         |cand AS (SELECT DISTINCT query_id, neighbor_id
+         |  FROM cb JOIN qb ON cb.t = qb.t AND cb.b = qb.b
+         |  WHERE query_id <> neighbor_id),
+         |scored AS (SELECT query_id, neighbor_id,
+         |  CAST(round(list_dot_product(qv, cv)
+         |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+         |    * 1e6, 0) AS BIGINT) AS cosine_micro
+         |  FROM cand JOIN q USING (query_id) JOIN c USING (neighbor_id)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cosine_micro DESC, neighbor_id) AS rank FROM scored)
+         |SELECT query_id, neighbor_id, cosine_micro, rank
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+
+    // q_media_features mirror: rebuild the synthetic media table from
+    // range(500) with the same modular arithmetic, then brute-force
+    // cosine top-3 for media_id < 5
+    "q_media_features" ->
+      """WITH m AS (SELECT range AS media_id,
+        |  lpad(CAST((range * 2654435761 + 12345) % 1000000007 AS VARCHAR),
+        |       10, '0') AS content
+        |  FROM range(500)),
+        |fp AS (SELECT media_id, list_reduce(
+        |  list_transform(str_split(content, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |  (a, b) -> (a * 31 + b) % 1000000007) AS f FROM m),
+        |feat AS (SELECT media_id, list_transform(range(0, 16), i ->
+        |  CAST(CAST((f * (2 * i + 3) + i) % 1000000 AS DOUBLE) / 500000.0 - 1.0
+        |       AS REAL)) AS v FROM fp),
+        |q AS (SELECT media_id AS query_id, v::DOUBLE[] AS qv FROM feat
+        |      WHERE media_id < 5),
+        |c AS (SELECT media_id AS neighbor_id, v::DOUBLE[] AS cv FROM feat),
+        |scored AS (SELECT query_id, neighbor_id,
+        |  CAST(round(list_dot_product(qv, cv)
+        |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+        |    * 1e6, 0) AS BIGINT) AS cosine_micro
+        |  FROM c, q WHERE query_id <> neighbor_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cosine_micro DESC, neighbor_id) AS rank FROM scored)
+        |SELECT query_id, neighbor_id, cosine_micro, rank
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
   )
 
   private def eventOracles: Map[String, String] = Map(
@@ -598,8 +713,8 @@ object SparkEntry {
         |f AS (SELECT *, CASE WHEN us - lag(us) OVER
         |        (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
         |      THEN 1 ELSE 0 END AS flag FROM e),
-        |s AS (SELECT *, sum(flag) OVER (PARTITION BY user_id
-        |        ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM f)
+        |s AS (SELECT *, CAST(sum(flag) OVER (PARTITION BY user_id
+        |        ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess FROM f)
         |SELECT user_id, sess, min(us) AS session_start_us,
         |  count(*) AS n_events,
         |  CAST(round(sum(value) * 1e6, 0) AS BIGINT) AS value_micro

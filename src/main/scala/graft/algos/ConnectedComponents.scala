@@ -63,6 +63,10 @@ object ConnectedComponents {
     val verts = Edges.vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
     var e = edges.select(col("src").as("u"), col("dst").as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var firstE = true // initial e is dataset-persisted; successors are truncated
+    def dropE(df: DataFrame): Unit =
+      if (firstE) { df.unpersist(false); firstE = false }
+      else graft.core.Lineage.release(df)
     var sig = checksum(e)
     var round = 0
     var done = false
@@ -76,17 +80,21 @@ object ConnectedComponents {
         case None => graft.core.Lineage.truncate(next)
       }
       val nsig = checksum(next)
-      e.unpersist(false)
+      dropE(e)
       e = next
       done = nsig == sig
       sig = nsig
       round += 1
     }
     // Final star edges point v -> root (root < v). Roots / isolated
-    // vertices map to themselves.
-    val assign = verts.join(e.select(col("u").as("id"), col("v").as("root")),
-        Seq("id"), "left")
-      .select(col("id"), coalesce(col("root"), col("id")).as("component"))
+    // vertices map to themselves. Materialize eagerly so the vertex and
+    // star-edge caches can be released before returning.
+    val assign = graft.core.Lineage.truncate(
+      verts.join(e.select(col("u").as("id"), col("v").as("root")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("root"), col("id")).as("component")))
+    verts.unpersist(false)
+    dropE(e)
     assign
   }
 }

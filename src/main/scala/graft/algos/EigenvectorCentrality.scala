@@ -46,6 +46,11 @@ object EigenvectorCentrality {
           col("old")))
       val err = next.agg(sum(abs(col("score") - col("old")))).head().getDouble(0)
       converged = err < n * tol
+      // next is materialized by the err action: the previous state and
+      // the raw intermediate are dead — release their cached RDDs so a
+      // long power iteration doesn't accumulate one block per step
+      graft.core.Lineage.release(x)
+      graft.core.Lineage.release(raw)
       x = next.select(col("id"), col("score"))
       iter += 1
     }

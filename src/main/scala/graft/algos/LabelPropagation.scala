@@ -22,20 +22,21 @@ object LabelPropagation {
 
   def run(spark: SparkSession, edges: DataFrame, iterations: Int): DataFrame = {
     val nbrs = Edges.neighbors(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = Edges.vertices(edges).select(col("id"), col("id").as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // eager truncate materializes in ONE job per superstep (no separate
+    // persist+count pass) and keeps the plan/stats flat across iterations
+    var labels = graft.core.Lineage.truncate(
+      Edges.vertices(edges).select(col("id"), col("id").as("label")))
     val w = Window.partitionBy("vid").orderBy(col("cnt").desc, col("label").asc)
     for (i <- 1 to iterations) {
       val counts = nbrs.join(labels, nbrs("nbr") === labels("id"))
         .groupBy(nbrs("id").as("vid"), col("label"))
         .agg(count(lit(1)).as("cnt"))
-      val next = counts.withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("vid").as("id"), col("label"))
-      val p = next.persist(StorageLevel.MEMORY_AND_DISK)
-      p.count()
-      labels.unpersist(false)
-      labels = p
+      val next = graft.core.Lineage.truncate(
+        counts.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("vid").as("id"), col("label")))
+      graft.core.Lineage.release(labels)
+      labels = next
     }
     nbrs.unpersist(false)
     labels

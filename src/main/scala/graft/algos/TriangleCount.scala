@@ -38,8 +38,11 @@ object TriangleCount {
       when(fwd, col("d2")).otherwise(col("d1")).as("ddeg"))
   }
 
-  /** Global triangle count as a single-row DataFrame. */
+  /** Global triangle count as a single-row DataFrame. Counts eagerly so
+    * the oriented-edge cache is released before returning.
+    */
   def globalCount(spark: SparkSession, edges: DataFrame): DataFrame = {
+    import spark.implicits._
     val o = orient(spark, edges).persist(StorageLevel.MEMORY_AND_DISK)
     val e1 = o.select(col("src").as("a"), col("dst").as("b"),
       col("ddeg").as("bd"))
@@ -51,7 +54,9 @@ object TriangleCount {
         (col("bd") === col("cd") && col("b") < col("c")))
     val closing = o.select(col("src").as("b"), col("dst").as("c"))
     val tri = wedges.join(closing, Seq("b", "c"), "left_semi")
-    tri.agg(count(lit(1)).as("triangles"))
+    val n = tri.agg(count(lit(1))).head().getLong(0)
+    o.unpersist(false)
+    Seq(n).toDF("triangles")
   }
 
   /** Per-vertex triangle participation counts (id, triangles); vertices
@@ -67,7 +72,11 @@ object TriangleCount {
     val closing = o.select(col("src").as("b"), col("dst").as("c"))
     val tris = wedges.join(closing, Seq("b", "c"), "left_semi")
       .select(col("a"), col("b"), col("c"))
-    tris.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    // materialize the (per-vertex-sized) result, then drop the edge cache
+    val out = graft.core.Lineage.truncate(
+      tris.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("triangles")))
+    o.unpersist(false)
+    out
   }
 }

@@ -71,6 +71,29 @@ object Ann {
       lit(0L), (acc, v) => acc.bitwiseOR(v))
   }
 
+  /** DuckDB-mirrorable SRP bucket: the ±1 weight of (plane p, dim j) is
+    * the parity of ((seed + p*1009 + j) * 2654435761) mod 1e9+7 —
+    * plain BIGINT arithmetic both engines compute identically (xxhash64
+    * is Spark-only). Projection sums fold left-to-right, matching
+    * DuckDB's list_reduce, so the sign bits agree exactly.
+    */
+  def srpBucketPortable(vec: Column, planes: Int, seed: Column): Column = {
+    val projections = transform(sequence(lit(0), lit(planes - 1)), p =>
+      aggregate(
+        zip_with(vec,
+          sequence(lit(0), size(vec) - 1),
+          (x, j) => when(
+            (((seed + p.cast("long") * 1009L + j.cast("long")) * 2654435761L)
+              % 1000000007L) % 2L === 1L, x)
+            .otherwise(-x)),
+        lit(0.0), (s, v) => s + v))
+    aggregate(
+      zip_with(projections, sequence(lit(0), lit(planes - 1)),
+        (proj, p) => when(proj > 0, graft.core.Cols.shiftLeftC(lit(1L), p))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
   /** Approximate top-k: score only same-bucket candidates across
     * `tables` independent SRP hash tables (OR-amplification), then exact
     * cosine on the candidate set. Falls back to fewer than k results for
@@ -79,7 +102,8 @@ object Ann {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               planes: Int = 4, tables: Int = 8,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              portableHash: Boolean = false): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("cv"))
     val q = queries.select(col(idCol).as("query_id"),
@@ -88,7 +112,10 @@ object Ann {
     def bucketed(df: DataFrame, vc: String): DataFrame =
       df.select(col("*"), posexplode(
           transform(sequence(lit(0), lit(tables - 1)),
-            t => srpBucket(col(vc), planes, lit(42L) + t * 1000L))))
+            t =>
+              if (portableHash)
+                srpBucketPortable(col(vc), planes, lit(42L) + t.cast("long") * 1000L)
+              else srpBucket(col(vc), planes, lit(42L) + t * 1000L))))
         .withColumnRenamed("pos", "t").withColumnRenamed("col", "b")
     val cb = bucketed(c, "cv")
     val qb = bucketed(q, "qv")

@@ -92,19 +92,36 @@ object ForceLayout {
           col("dst").as("i_dst"), col("p1").as("ip1"), col("p2").as("ip2"),
           col("mid").as("imid"))
 
-      // kNN: broadcast sampled against all midpoints, top-k by L2
+      // kNN: broadcast sampled against all midpoints; per-query bounded
+      // top-(k+1) via the BoundedTopKAgg TypedImperativeAggregate. The
+      // aggregate gets map-side PARTIAL aggregation, so the shuffle
+      // carries at most partitions x sample x (k+1) candidate rows — a
+      // row_number window here would shuffle ALL E x sample pairs into
+      // at most `sample` reducer keys (a hard parallelism ceiling at
+      // web scale).
       val sqdist = aggregate(
         zip_with(col("imid"), col("mid"), (a, b) => (a - b) * (a - b)),
         lit(0.0), (s, x) => s + x)
-      val pairsAll = mids.crossJoin(broadcast(sampled))
+      val sampledT = graft.core.Lineage.truncate(sampled) // tiny; used twice
+      val cand = struct(sqdist.as("d2"), col("eid").as("j_eid"),
+        col("src").as("j_src"), col("dst").as("j_dst"),
+        col("p1").as("jp1"), col("p2").as("jp2"))
+      val topk = mids.crossJoin(broadcast(sampledT))
+        .groupBy(col("i_eid"))
+        .agg(graft.functions.BoundedTopKAgg.topK(cand, cfg.nNeighbors + 1)
+          .as("nn"))
+      // element 0 is the nearest midpoint (self at d2=0, or an exactly
+      // coincident midpoint with a smaller eid — same drop rule as the
+      // old rn=1 filter); keep elements 1..k
+      val knn = topk.join(broadcast(sampledT), "i_eid")
+        .select(col("i_eid"), col("i_src"), col("i_dst"),
+          col("ip1"), col("ip2"), posexplode(col("nn")))
+        .where(col("pos") >= 1)
         .select(col("i_eid"), col("i_src"), col("i_dst"),
           col("ip1"), col("ip2"),
-          col("eid").as("j_eid"), col("src").as("j_src"),
-          col("dst").as("j_dst"), col("p1").as("jp1"), col("p2").as("jp2"),
-          sqdist.as("d2"))
-      val w = Window.partitionBy("i_eid").orderBy(col("d2").asc, col("j_eid").asc)
-      val knn = pairsAll.withColumn("rn", row_number().over(w))
-        .where(col("rn") > 1 && col("rn") <= cfg.nNeighbors + 1)
+          col("col.j_eid").as("j_eid"), col("col.j_src").as("j_src"),
+          col("col.j_dst").as("j_dst"),
+          col("col.jp1").as("jp1"), col("col.jp2").as("jp2"))
 
       // candidate validity + 2D intersection test
       val valid = knn.where(col("i_eid") < col("j_eid"))
@@ -166,6 +183,8 @@ object ForceLayout {
       }
       ep.unpersist(false)
       mids.unpersist(false)
+      graft.core.Lineage.release(sampledT)
+      graft.core.Lineage.release(pos) // next is materialized; old state is dead
       pos = next
       iter += 1
     }

@@ -46,14 +46,22 @@ object Influence {
         attempts.join(active, Seq("id"), "left_anti"))
       val nNew = newly.count()
       if (nNew == 0) {
+        if (frontier ne active) graft.core.Lineage.release(frontier)
         frontier = newly
       } else {
+        // the new active set is materialized (eager truncate): the old
+        // active and frontier caches are dead
+        val prevActive = active
         active = graft.core.Lineage.truncate(active.union(newly))
+        if (frontier ne prevActive) graft.core.Lineage.release(frontier)
+        graft.core.Lineage.release(prevActive)
         frontier = newly
         total += nNew
       }
       rounds += 1
     }
+    graft.core.Lineage.release(frontier)
+    if (frontier ne active) graft.core.Lineage.release(active)
     nbrs.unpersist(false)
     total
   }

@@ -67,9 +67,15 @@ object Edges {
     val lines = spark.read.text(path)
       .where(!col("value").startsWith("#") && length(trim(col("value"))) > 0)
     val split0 = split(trim(col("value")), "\\s+")
-    canonicalize(lines.select(
-      element_at(split0, 1).cast("long").as("src"),
-      element_at(split0, 2).cast("long").as("dst")))
+    // explicit arity/validity guard: a malformed line (1 field, or a
+    // non-numeric token) is dropped rather than surfacing a null vertex
+    // or an ANSI cast error (try_cast -> NULL -> filtered)
+    canonicalize(lines
+      .where(size(split0) >= 2)
+      .select(element_at(split0, 1).as("s1"), element_at(split0, 2).as("s2"))
+      .select(expr("try_cast(s1 AS BIGINT)").as("src"),
+        expr("try_cast(s2 AS BIGINT)").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull))
   }
 
   /** Read a Matrix Market (.mtx) pattern file: '%' comments, first data
@@ -85,8 +91,11 @@ object Edges {
     val withId = lines.withColumn("rid", monotonically_increasing_id())
     val minId = withId.agg(min(col("rid"))).head().getLong(0)
     val split0 = split(trim(col("value")), "\\s+")
-    canonicalize(withId.where(col("rid") =!= minId).select(
-      (element_at(split0, 1).cast("long") - 1).as("src"),
-      (element_at(split0, 2).cast("long") - 1).as("dst")))
+    canonicalize(withId.where(col("rid") =!= minId)
+      .where(size(split0) >= 2)
+      .select(element_at(split0, 1).as("s1"), element_at(split0, 2).as("s2"))
+      .select((expr("try_cast(s1 AS BIGINT)") - 1).as("src"),
+        (expr("try_cast(s2 AS BIGINT)") - 1).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull))
   }
 }

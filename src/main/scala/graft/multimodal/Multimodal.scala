@@ -32,30 +32,35 @@ object Multimodal {
   def synthesize(spark: SparkSession, n: Long): DataFrame = {
     val kind = element_at(array(lit("image"), lit("audio"), lit("video")),
       (col("id") % 3 + 1).cast("int"))
+    // STUB payload/metadata: pure modular arithmetic on the id (NOT
+    // xxhash64) so the DuckDB oracle can rebuild the identical table
+    // from range(n)
     spark.range(n).select(
       col("id").as("media_id"),
       kind.as("kind"),
-      // STUB payload: hex of a hash chain — stands in for real bytes
-      concat_ws("", (0 until 8).map(i =>
-        hex(xxhash64(col("id"), lit(i)))): _*).cast("binary").as("content"),
-      when(kind === "image", (pmod(xxhash64(col("id"), lit("w")), lit(1920L)) + 16).cast("int"))
+      lpad(((col("id") * 2654435761L + 12345L) % 1000000007L).cast("string"),
+        10, "0").cast("binary").as("content"),
+      when(kind === "image", (col("id") * 37L % 1920L + 16L).cast("int"))
         .otherwise(lit(-1)).as("width"),
-      when(kind === "image", (pmod(xxhash64(col("id"), lit("h")), lit(1080L)) + 16).cast("int"))
+      when(kind === "image", (col("id") * 53L % 1080L + 16L).cast("int"))
         .otherwise(lit(-1)).as("height"),
-      when(kind =!= "image", pmod(xxhash64(col("id"), lit("d")), lit(600000L)))
+      when(kind =!= "image", col("id") * 7919L % 600000L)
         .otherwise(lit(-1L)).as("duration_ms"))
   }
 
   /** STUB decode/feature-extract: a `dim`-float feature vector per
-    * media row, derived deterministically from the payload bytes.
+    * media row, derived deterministically from the payload bytes via
+    * the portable rolling-hash fingerprint (DuckDB-mirrorable).
     * Real implementation would decode pixels/samples here; the
     * column-level contract (binary -> array<float>) is what downstream
     * (ANN, dedup) consumes.
     */
-  def stubDecodeFeatures(content: Column, dim: Int = 16): Column =
+  def stubDecodeFeatures(content: Column, dim: Int = 16): Column = {
+    val fp = graft.text.TextOps.rollingHash(content.cast("string"))
     transform(sequence(lit(0), lit(dim - 1)), i =>
-      ((pmod(xxhash64(content, i), lit(1000000L)).cast("double") / 500000.0)
-        - 1.0).cast("float"))
+      ((((fp * (i.cast("long") * 2L + 3L) + i.cast("long")) % 1000000L)
+        .cast("double") / 500000.0) - 1.0).cast("float"))
+  }
 
   /** STUB frame sampler for videos: `k` evenly-spaced frame ordinals
     * from a duration — the real version would extract those frames.

@@ -38,14 +38,41 @@ object Dedup {
       k => aggregate(shingleCol, lit(Long.MaxValue),
         (acc, s) => least(acc, xxhash64(s, k))))
 
+  /** Portable seeded hash over a precomputed rolling-hash fingerprint:
+    * (fp * (2k+3) + k) mod 1e9+7 — exactly reproducible in DuckDB
+    * BIGINT arithmetic (fp < 1e9+7, so no overflow), which xxhash64 is
+    * not. Weaker mixing than xxhash64 but fine for oracle-checked
+    * variants; production paths default to xxhash64.
+    */
+  private[text] def seededPortable(fp: Column, k: Column): Column =
+    (fp * (k.cast("long") * 2L + 3L) + k.cast("long")) % 1000000007L
+
+  /** DuckDB-mirrorable MinHash signature (see seededPortable). The
+    * per-shingle fingerprint is computed ONCE and reused across the
+    * numHashes seeded variants.
+    */
+  def minHashSignaturePortable(shingleCol: Column, numHashes: Int): Column = {
+    val fps = transform(shingleCol, s => TextOps.rollingHash(s))
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      k => aggregate(fps, lit(Long.MaxValue),
+        (acc, f) => least(acc, seededPortable(f, k))))
+  }
+
   /** LSH banding: (id, band, bucket) rows — documents sharing any
-    * (band, bucket) are near-dup candidates.
+    * (band, bucket) are near-dup candidates. Documents with an EMPTY
+    * shingle set (fewer than k tokens) are excluded: their signature is
+    * the all-MaxValue vector, so on a web corpus millions of near-empty
+    * docs would otherwise share ONE bucket in every band and the
+    * candidate self-join would go quadratic. They can only be exact
+    * duplicates of each other — `exactGroups` covers them.
     */
   def lshBuckets(df: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 16, bands: Int = 8): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sig = minHashSignature(TextOps.shingles(col(textCol)), numHashes)
-    df.select(col(idCol).as("id"), sig.as("sig"))
+    val sig = minHashSignature(col("_sh"), numHashes)
+    df.select(col(idCol).as("id"), TextOps.shingles(col(textCol)).as("_sh"))
+      .where(size(col("_sh")) > 0)
+      .select(col("id"), sig.as("sig"))
       .select(col("id"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws(",",
@@ -55,10 +82,20 @@ object Dedup {
 
   /** Near-duplicate pairs via MinHash-LSH candidates verified with exact
     * shingle Jaccard >= threshold. Returns (id_a, id_b, jaccard_micro).
+    *
+    * Scale guards: docs with an empty shingle set are excluded from
+    * banding (see lshBuckets — they'd all share one hot bucket), and
+    * buckets larger than `maxBucket` are dropped before the candidate
+    * self-join (a bucket of B docs contributes B^2/2 pairs; a single
+    * boilerplate-heavy bucket would otherwise dominate the job). Pairs
+    * lost to a capped bucket still surface through the other bands-1
+    * buckets, so the recall cost is marginal — it's the standard
+    * LSH-at-scale knob.
     */
   def minHashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.7, numHashes: Int = 16,
-                      bands: Int = 8): DataFrame = {
+                      bands: Int = 8, maxBucket: Int = 10000,
+                      portableHash: Boolean = false): DataFrame = {
     // materialize shingles ONCE: both the LSH banding and the exact
     // verification reuse them (recomputing the shingle+minhash column
     // pipeline per join side dominated the wall-clock otherwise)
@@ -66,26 +103,43 @@ object Dedup {
         TextOps.shingles(col(textCol)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rowsPerBand = numHashes / bands
-    val sig = minHashSignature(col("sh"), numHashes)
-    val buckets = sh.select(col("id"), sig.as("sig"))
+    val sig =
+      if (portableHash) minHashSignaturePortable(col("sh"), numHashes)
+      else minHashSignature(col("sh"), numHashes)
+    def bandBucket(b: Column): Column = {
+      val sl = slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
+      if (portableHash)
+        aggregate(sl, lit(0L), (a, v) => (a * 31L + v) % 1000000007L)
+      else xxhash64(concat_ws(",", sl))
+    }
+    val buckets = sh.where(size(col("sh")) > 0)
+      .select(col("id"), sig.as("sig"))
       .select(col("id"), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws(",",
-            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
+        transform(sequence(lit(0), lit(bands - 1)), b => bandBucket(b))))
       .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = buckets.as("x").join(buckets.as("y"),
+    val smallBuckets = buckets.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("_bc")).where(col("_bc") <= maxBucket)
+      .select("band", "bucket")
+    val pruned = buckets.join(smallBuckets, Seq("band", "bucket"), "left_semi")
+    val cands = pruned.as("x").join(pruned.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
-    cands
+    val verified = cands
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(TextOps.jaccard(col("sh_a"), col("sh_b")) * 1e6, 0)
           .cast("long").as("jaccard_micro"))
       .where(col("jaccard_micro") >= (threshold * 1e6).toLong)
+    // materialize the (small) verified-pair table so the big shingle and
+    // bucket caches can be released before returning
+    val out = graft.core.Lineage.truncate(verified)
+    buckets.unpersist(false)
+    sh.unpersist(false)
+    out
   }
 
   /** 64-bit SimHash over whitespace tokens: bit b is 1 iff the sum of
@@ -100,6 +154,26 @@ object Dedup {
           b => when(graft.core.Cols.shiftRightC(xxhash64(t), b)
             .bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))),
         (x, y) => x + y))
+    aggregate(
+      zip_with(sums, sequence(lit(0), lit(63)),
+        (s, b) => when(s > 0, graft.core.Cols.shiftLeftC(lit(1L), b))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** DuckDB-mirrorable 64-bit SimHash: bit b's per-token sign is the
+    * parity of the portable seeded hash of the token's rolling-hash
+    * fingerprint (see seededPortable) instead of a bit of xxhash64.
+    * Same banding/pigeonhole machinery applies; production paths use
+    * `simHash`.
+    */
+  def simHashPortable(text: Column): Column = {
+    val fps = transform(TextOps.tokens(text), t => TextOps.rollingHash(t))
+    val sums = aggregate(fps,
+      transform(sequence(lit(0), lit(63)), _ => lit(0L)),
+      (acc, f) => zip_with(acc, sequence(lit(0), lit(63)),
+        (x, b) => x + when(seededPortable(f, b) % 2 === 1, lit(1L))
+          .otherwise(lit(-1L))))
     aggregate(
       zip_with(sums, sequence(lit(0), lit(63)),
         (s, b) => when(s > 0, graft.core.Cols.shiftLeftC(lit(1L), b))

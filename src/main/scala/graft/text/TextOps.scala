@@ -65,12 +65,19 @@ object TextOps {
     aggregate(split(text, ""), lit(0L),
       (acc, c) => (acc * 31L + ascii(c)) % 1000000007L)
 
-  /** 3-token shingles of a document (w1 w2 w3 strings), distinct. */
+  /** 3-token shingles of a document (w1 w2 w3 strings), distinct.
+    * Documents with fewer than k tokens yield an EMPTY set (matching
+    * DuckDB's range(0, len-k) semantics): Spark's sequence(0, negative)
+    * would otherwise generate a DESCENDING sequence and slice() at a
+    * negative index throws at runtime.
+    */
   def shingles(text: Column, k: Int = 3): Column = {
     val toks = tokens(text)
-    array_distinct(
-      transform(sequence(lit(0), size(toks) - k),
-        i => array_join(slice(toks, i + 1, lit(k)), " ")))
+    when(size(toks) >= k,
+      array_distinct(
+        transform(sequence(lit(0), size(toks) - k),
+          i => array_join(slice(toks, i + 1, lit(k)), " "))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Jaccard similarity of two shingle-set columns (distinct-set
