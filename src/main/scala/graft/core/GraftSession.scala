@@ -29,6 +29,10 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      // TypedImperativeAggregate (BoundedTopKAgg) groups per partition
+      // exceed the 128 default, which silently flips ObjectHashAggregate
+      // into sort-based mode and SORTS+SPILLS the whole candidate stream
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
       .getOrCreate()
   }
 
@@ -40,6 +44,7 @@ object GraftSession {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
     spark
   }
 }

@@ -99,16 +99,28 @@ object ForceLayout {
       // row_number window here would shuffle ALL E x sample pairs into
       // at most `sample` reducer keys (a hard parallelism ceiling at
       // web scale).
-      val sqdist = aggregate(
-        zip_with(col("imid"), col("mid"), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (s, x) => s + x)
+      //
+      // Two fan-out-stage rules learned the hard way at E x 512 rows:
+      //  - the distance is per-dimension element_at arithmetic, NOT an
+      //    aggregate/zip_with fold — higher-order functions are
+      //    CodegenFallback and would run interpreted on every pair;
+      //  - mids is explicitly repartitioned first: AQE coalesces the
+      //    (tiny) E-row shuffle into ~1 partition, and the x512 blowup
+      //    happens AFTER coalescing — one task would compute the whole
+      //    cross product.
+      val sqdist = (0 until d).map { j =>
+        val diff = element_at(col("imid"), j + 1) - element_at(col("mid"), j + 1)
+        diff * diff
+      }.reduce(_ + _)
       val sampledT = graft.core.Lineage.truncate(sampled) // tiny; used twice
+      val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
       val cand = struct(sqdist.as("d2"), col("eid").as("j_eid"),
         col("src").as("j_src"), col("dst").as("j_dst"),
         col("p1").as("jp1"), col("p2").as("jp2"))
-      val topk = mids.crossJoin(broadcast(sampledT))
+      val topk = mids.repartition(p).crossJoin(broadcast(sampledT))
+        .select(col("i_eid"), cand.as("cand"))
         .groupBy(col("i_eid"))
-        .agg(graft.functions.BoundedTopKAgg.topK(cand, cfg.nNeighbors + 1)
+        .agg(graft.functions.BoundedTopKAgg.topK(col("cand"), cfg.nNeighbors + 1)
           .as("nn"))
       // element 0 is the nearest midpoint (self at d2=0, or an exactly
       // coincident midpoint with a smaller eid — same drop rule as the
@@ -131,7 +143,10 @@ object ForceLayout {
       def oy(p: String): Column = element_at(col(p), 2)
       def orient(a: String, b: String, c: String): Column =
         (ox(b) - ox(a)) * (oy(c) - oy(a)) - (oy(b) - oy(a)) * (ox(c) - ox(a))
-      val inter = valid
+      // MATERIALIZED: inter is tiny (<= sample x k pairs) but feeds FOUR
+      // union branches below — without truncation each branch would
+      // re-execute the whole E x sample kNN pipeline upstream of it
+      val inter = graft.core.Lineage.truncate(valid
         .withColumn("o1", orient("ip1", "ip2", "jp1"))
         .withColumn("o2", orient("ip1", "ip2", "jp2"))
         .withColumn("o3", orient("jp1", "jp2", "ip1"))
@@ -140,7 +155,7 @@ object ForceLayout {
         .withColumn("imid4",
           zip_with(zip_with(col("ip1"), col("ip2"), (a, b) => a + b),
             zip_with(col("jp1"), col("jp2"), (a, b) => a + b),
-            (s1, s2) => (s1 + s2) / 4.0))
+            (s1, s2) => (s1 + s2) / 4.0)))
 
       // repulsion rows for the 4 endpoints of each intersecting pair
       def repulse(vid: Column, vpos: Column): Column = {
@@ -184,6 +199,7 @@ object ForceLayout {
       ep.unpersist(false)
       mids.unpersist(false)
       graft.core.Lineage.release(sampledT)
+      graft.core.Lineage.release(inter)
       graft.core.Lineage.release(pos) // next is materialized; old state is dead
       pos = next
       iter += 1

@@ -37,10 +37,15 @@ object SpectralInit {
     val deg = Edges.degrees(edges)
       .select(col("id"), col("degree").cast("double").as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // pre-shuffled ONCE on the per-iteration join key: every SpMV's
+    // gather join then reuses this exchange instead of reshuffling the
+    // (big) weighted adjacency each iteration
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val adj = nbrs.join(deg.select(col("id").as("nbr"), col("deg").as("ndeg")), "nbr")
       .join(deg, "id")
       .select(col("id"), col("nbr"),
         (lit(1.0) / sqrt(col("deg") * col("ndeg"))).as("w"))
+      .repartition(p, col("nbr"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     adj.count()
 
@@ -55,6 +60,10 @@ object SpectralInit {
     var iter = 0
     var prevGram: Option[DenseMatrix[Double]] = None
     var done = false
+    // ONE job per iteration: y and the previous iteration's lazy x
+    // checkpoint both materialize inside the Gram aggregate action;
+    // frames superseded before that action are released right after it
+    var toRelease: List[DataFrame] = Nil
     while (iter < maxIter && !done) {
       // y = P x = (x + M x)/2 ; M x via gather join + agg
       val msgs = adj.join(x.withColumnRenamed("id", "nbr"), "nbr")
@@ -62,7 +71,7 @@ object SpectralInit {
       val gathered = msgs.groupBy("id").agg(
         array((0 until k).map(j =>
           sum(element_at(col("m"), j + 1))): _*).as("mx"))
-      val y = graft.core.Lineage.truncate(x.join(gathered, Seq("id"), "left")
+      val y = graft.core.Lineage.truncateLazy(x.join(gathered, Seq("id"), "left")
         .select(col("id"), zip_with(col("x"),
           coalesce(col("mx"), array((0 until k).map(_ => lit(0.0)): _*)),
           (xi, mi) => (xi + mi) * 0.5).as("x")))
@@ -72,6 +81,7 @@ object SpectralInit {
         sum(element_at(col("x"), a + 1) * element_at(col("x"), b + 1))
           .as(s"g_${a}_$b")
       val g = y.agg(gramCols.head, gramCols.tail: _*).head()
+      toRelease.foreach(graft.core.Lineage.release)
       val gm = DenseMatrix.zeros[Double](k, k)
       var idx = 0
       for (a <- 0 until k; b <- a until k) {
@@ -84,10 +94,11 @@ object SpectralInit {
           element_at(col("x"), i + 1) * lInvT(i, j))
           .reduce(_ + _).as(s"c$j")
       }
-      val xn = graft.core.Lineage.truncate(
+      val xn = graft.core.Lineage.truncateLazy(
         y.select((col("id") +: coefCols): _*)
           .select(col("id"),
             array((0 until k).map(j => col(s"c$j")): _*).as("x")))
+      toRelease = List(x, y)
       x = xn
       // convergence: Gram matrix (pre-orthonormalization) stabilizes
       val delta = prevGram.map(pg => breeze.linalg.max(
@@ -97,9 +108,14 @@ object SpectralInit {
       prevGram = Some(gm)
       iter += 1
     }
+    // drop the trivial leading eigenvector: columns 1..d. Materialize
+    // before releasing the frames the lazy x still depends on.
+    val out = graft.core.Lineage.truncate(
+      x.select(col("id"), slice(col("x"), 2, d).as("pos")))
+    toRelease.foreach(graft.core.Lineage.release)
+    graft.core.Lineage.release(x)
     deg.unpersist(false)
     adj.unpersist(false)
-    // drop the trivial leading eigenvector: columns 1..d
-    x.select(col("id"), slice(col("x"), 2, d).as("pos"))
+    out
   }
 }
