@@ -15,9 +15,11 @@ object ScalingBench {
   /** Fixed-superstep PageRank on a deterministic ~20M-edge ER graph —
     * large enough to be compute-bound on 32 cores, identical input at
     * both parallelism levels (hash-derived, partition-independent).
+    * engine: "rel" = relational join+agg superstep (PageRank.run),
+    * "csr" = shuffle-free CSR blocks + broadcast vector (PageRankCsr).
     */
   private def runAt(cores: Int, nVerts: Long, p: Double,
-                    supersteps: Int): (Long, Double, Double) = {
+                    supersteps: Int, engine: String = "rel"): (Long, Double, Double) = {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toString)
@@ -28,6 +30,10 @@ object ScalingBench {
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
+      // rank vectors are random doubles — incompressible; lz4 on the
+      // per-superstep broadcast/shuffle is pure serial overhead here
+      .config("spark.broadcast.compress", "false")
+      .config("spark.shuffle.compress", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val e = graft.generators.Generators.erSparse(spark, nVerts, p, 42)
@@ -35,15 +41,26 @@ object ScalingBench {
     val m = e.count()
     def onePass(): Double = {
       val t0 = System.nanoTime()
-      val r = graft.algos.PageRank.runUndirected(spark, e,
-        graft.algos.PageRank.Config(tol = 0.0, maxIter = supersteps))
-      r.ranks.agg(org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1))).head()
+      if (engine == "csr") {
+        val r = graft.algos.PageRankCsr.run(spark, e, maxIter = supersteps)
+        r.ranks.agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1))).head()
+      } else {
+        val r = graft.algos.PageRank.runUndirected(spark, e,
+          graft.algos.PageRank.Config(tol = 0.0, maxIter = supersteps))
+        r.ranks.agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1))).head()
+      }
       (System.nanoTime() - t0) / 1e9
     }
     onePass() // warm-up (JIT + codegen caches)
-    val secs = onePass()
+    // 3 timed passes, report the median — single-box runs are noisy
+    // (page cache, GC phase, scheduler) and one outlier pass would
+    // swing the efficiency ratio by 2x otherwise
+    val passes = Seq(onePass(), onePass(), onePass()).sorted
+    val secs = passes(1)
     spark.stop()
+    System.err.println(f"[scaling] cores=$cores engine=$engine passes=${passes.map(p => f"$p%.1f").mkString(",")}")
     (m, secs, m.toDouble * supersteps / secs)
   }
 
@@ -56,21 +73,28 @@ object ScalingBench {
     */
   def main(args: Array[String]): Unit = {
     val nVerts = args.headOption.map(_.toLong).getOrElse(2000000L)
-    val p = 1e-5
+    // avg degree 2*nVerts*p: default 40 at 2M vertices — a
+    // Common-Crawl-ish out-degree, and enough parallel work per
+    // superstep that the per-superstep fixed cost doesn't dominate the
+    // 8-vs-32-core comparison
+    val p = sys.env.get("SPARK_GRAFT_ER_P").map(_.toDouble).getOrElse(2e-5)
     val supersteps = 8
     if (args.length >= 2) {
       val cores = args(1).toInt
-      val (m, s, eps) = runAt(cores, nVerts, p, supersteps)
-      println(s"""{"metric":"pagerank_fixed8","cores":$cores,""" +
+      val engine = if (args.length >= 3) args(2) else "rel"
+      val (m, s, eps) = runAt(cores, nVerts, p, supersteps, engine)
+      println(s"""{"metric":"pagerank_fixed8","engine":"$engine","cores":$cores,""" +
         s""""n_vertices":$nVerts,"edges":$m,"secs":$s,"eps":$eps}""")
     } else {
-      val (m8, s8, eps8) = runAt(8, nVerts, p, supersteps)
-      val (m32, s32, eps32) = runAt(32, nVerts, p, supersteps)
-      val eff = eps32 / (4.0 * eps8)
-      println(s"""{"metric":"scaling_efficiency","value":$eff,""" +
-        s""""supersteps":$supersteps,"n_vertices":$nVerts,""" +
-        s""""local8":{"edges":$m8,"secs":$s8,"eps":$eps8},""" +
-        s""""local32":{"edges":$m32,"secs":$s32,"eps":$eps32}}""")
+      Seq("rel", "csr").foreach { engine =>
+        val (m8, s8, eps8) = runAt(8, nVerts, p, supersteps, engine)
+        val (m32, s32, eps32) = runAt(32, nVerts, p, supersteps, engine)
+        val eff = eps32 / (4.0 * eps8)
+        println(s"""{"metric":"scaling_efficiency","engine":"$engine","value":$eff,""" +
+          s""""supersteps":$supersteps,"n_vertices":$nVerts,""" +
+          s""""local8":{"edges":$m8,"secs":$s8,"eps":$eps8},""" +
+          s""""local32":{"edges":$m32,"secs":$s32,"eps":$eps32}}""")
+      }
     }
   }
 }

@@ -21,6 +21,20 @@ import graft.text.{Dedup, TextOps}
   * URLs — the oracle reconstructs the expected output arithmetically.
   * Floating-point scores are emitted as BIGINT nano-units so the
   * driver's value-hash compare is representation-independent.
+  *
+  * KNOWN RISK (documented, accepted): the pagerank / eigencentrality /
+  * spearman / rel_agg oracles require the two engines' double
+  * aggregations to round to the SAME nano/micro unit. Per-vertex sums
+  * are shuffle-order-dependent in Spark and differently ordered in
+  * DuckDB, so a last-ULP difference that lands exactly on a *1e9/.5
+  * rounding boundary would flip one unit and fail the exact hash. This
+  * has not been observed at sf0.01/sf0.1 across parallelism levels
+  * (the graph aggregations sum <= degree ~ 10^3 doubles of similar
+  * magnitude, keeping accumulated error ~1e-13 relative, far from the
+  * 1e-9-unit boundaries with overwhelming probability), but it is
+  * latent: if a future scale flips one value, prefer widening the
+  * contested aggregate to decimal(38,18) on BOTH sides over loosening
+  * the driver compare.
   */
 object SparkEntry {
 

@@ -178,6 +178,26 @@ class Round2Spec extends SparkSuite {
     assert(nn.length == 1 && nn.head.getLong(1) == 1L)
   }
 
+  test("CSR PageRank matches the relational engine to 1e-12") {
+    val e = graft.generators.Generators.ba(spark, 300, 3, 13)
+    val rel = graft.algos.PageRank.fixedIterUndirected(e, 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val csr = graft.algos.PageRankCsr.run(spark, e, maxIter = 8)
+    csr.ranks.collect().foreach { r =>
+      val id = r.getLong(0)
+      rel.get(id).foreach(v => assert(math.abs(v - r.getDouble(1)) < 1e-12, s"v$id"))
+    }
+    // convergent mode agrees with the relational convergent engine
+    val relC = graft.algos.PageRank.runUndirected(spark, e,
+      graft.algos.PageRank.Config(tol = 1e-8, maxIter = 100))
+    val csrC = graft.algos.PageRankCsr.run(spark, e, maxIter = 100, tol = 1e-8)
+    val relM = relC.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    csrC.ranks.collect().foreach { r =>
+      relM.get(r.getLong(0)).foreach(v =>
+        assert(math.abs(v - r.getDouble(1)) < 1e-9))
+    }
+  }
+
   test("ResultsSink writes csv + markdown + latex tables") {
     import spark.implicits._
     val dir = Files.createTempDirectory("sink").toString
