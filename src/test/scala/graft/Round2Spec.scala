@@ -198,6 +198,38 @@ class Round2Spec extends SparkSuite {
     }
   }
 
+  test("spearman physical plan contains no global window") {
+    import spark.implicits._
+    val df = (1 to 5000).map(i => (i.toLong, i * 2.0 + (i % 7), (i + i % 13).toLong))
+      .toDF("id", "a", "b")
+    val out = graft.embed.Correlation.spearmanDf(df, "a", "b")
+    val plan = out.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    // the old rank implementation was Window.orderBy with no partition —
+    // an n-row single-task window. Ranks are join-based now: no Window
+    // node anywhere in the final plan. (The one SinglePartition exchange
+    // left is the scalar corr merge ABOVE a partial aggregate — fine.)
+    assert(!plan.contains("Window"),
+      s"window found in spearman plan:\n${plan.take(2000)}")
+    // and it still computes the right value
+    assert(out.head().getLong(0) > 900000) // strongly monotone-ish
+  }
+
+  test("BoundedTopKAgg plans as hash aggregation with a partial stage") {
+    import spark.implicits._
+    val df = (0 until 10000).map(i => (i.toLong % 50, i.toDouble, i.toLong))
+      .toDF("g", "d", "id")
+    val agged = df.groupBy("g").agg(
+      graft.functions.BoundedTopKAgg.topK(struct(col("d"), col("id")), 3).as("nn"))
+    val plan = agged.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    val objHash = "ObjectHashAggregate".r.findAllIn(plan).length
+    assert(objHash >= 2, s"expected partial+final ObjectHashAggregate:\n${plan.take(1500)}")
+    assert(!plan.contains("SortAggregate"),
+      "bounded top-k fell back to sort-based aggregation")
+    assert(!plan.contains("Window"), "no window should be involved")
+  }
+
   test("ResultsSink writes csv + markdown + latex tables") {
     import spark.implicits._
     val dir = Files.createTempDirectory("sink").toString
