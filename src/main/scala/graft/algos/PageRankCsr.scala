@@ -28,6 +28,10 @@ object PageRankCsr {
   case class Result(ranks: DataFrame, iterations: Int, err: Double,
                     edgesPerSecPerSuperstep: Double)
 
+  /** Int-packed per-partition CSR (dense ids < 2^31). */
+  case class PackedCsr(partId: Int, vertexIds: Array[Int],
+                       rowPtr: Array[Int], colIdx: Array[Int])
+
   /** Run over canonical (src < dst) edges with DENSE vertex ids
     * 0..n-1 (use Ids.dense / UrlDictionary first otherwise).
     * tol <= 0 runs exactly `maxIter` supersteps.
@@ -37,16 +41,30 @@ object PageRankCsr {
           partitions: Int = 0): Result = {
     // cache the blocks as JVM OBJECTS (RDD cache), not encoder rows: a
     // Dataset cache would deserialize both index arrays on every
-    // superstep's pass
-    val blocks = CsrBlocks.build(spark, edges, partitions)
-      .rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    // superstep's pass. The column index is packed to Int — dense ids
+    // after densification fit 2^31 here, and halving the bytes streamed
+    // per edge-direction matters on a memory-bound kernel. (The general
+    // CsrBlock keeps Long ids for the 10^12-vertex regime.)
+    val built = CsrBlocks.build(spark, edges, partitions).rdd
+    val blocks = built
+      .map { b =>
+        val mx = math.max(
+          if (b.vertexIds.isEmpty) 0L else b.vertexIds.max,
+          if (b.colIdx.isEmpty) 0L else b.colIdx.max)
+        require(mx < Int.MaxValue,
+          "PageRankCsr requires dense vertex ids < 2^31 (densify first); " +
+            "use the relational PageRank.run beyond that")
+        PackedCsr(b.partId, b.vertexIds.map(_.toInt),
+          b.rowPtr, b.colIdx.map(_.toInt))
+      }
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sc = spark.sparkContext
 
     // n, m and the degree vector in one pass over the blocks
     val (maxId, m2) = blocks.map(b =>
       (b.vertexIds.max, b.colIdx.length.toLong))
       .reduce((a, b) => (math.max(a._1, b._1), a._2 + b._2))
-    val n = (maxId + 1).toInt
+    val n = maxId + 1
     val deg = new Array[Double](n)
     // the per-block vertex-id arrays are STATIC: ship them to the driver
     // once, so each superstep's collect carries only the sums
@@ -54,7 +72,7 @@ object PageRankCsr {
         b.vertexIds, b.rowPtr.sliding(2).map(w => w(1) - w(0)).toArray))
       .collect().map { case (pid, ids, ds) =>
         var i = 0
-        while (i < ids.length) { deg(ids(i).toInt) = ds(i).toDouble; i += 1 }
+        while (i < ids.length) { deg(ids(i)) = ds(i).toDouble; i += 1 }
         pid -> ids
       }.toMap
 
@@ -85,7 +103,7 @@ object PageRankCsr {
           var j = b.rowPtr(i)
           val end = b.rowPtr(i + 1)
           while (j < end) {
-            s += xv(b.colIdx(j).toInt)
+            s += xv(b.colIdx(j))
             j += 1
           }
           sums(i) = s
@@ -99,7 +117,7 @@ object PageRankCsr {
         val ids = idsByPart(pid)
         var i = 0
         while (i < ids.length) {
-          next(ids(i).toInt) = base + alpha * sums(i)
+          next(ids(i)) = base + alpha * sums(i)
           i += 1
         }
       }
