@@ -36,8 +36,18 @@ def heapMb(s: String): Long = {
     else t.toDouble.toLong / (1024L * 1024L) // bare bytes
   } catch { case _: NumberFormatException => 8192L }
 }
-val graftHeapMb: Long =
-  math.max(1024L, math.min(heapMb(sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")), 12288L))
+// SPARK_GRAFT_HEAP_MB bypasses the clamp explicitly (e.g. a genuinely
+// larger scale factor that needs the headroom); otherwise clamping is
+// logged so a silently-capped request is visible in the sbt output.
+val graftHeapMb: Long = sys.env.get("SPARK_GRAFT_HEAP_MB").map(_.trim.toLong).getOrElse {
+  val requested = heapMb(sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+  val clamped = math.max(1024L, math.min(requested, 12288L))
+  if (clamped != requested)
+    println(s"[graft] SPARK_DRIVER_MEM=${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")} " +
+      s"clamped to ${clamped} MB (8-12 GB is the measured GC sweet spot; " +
+      "set SPARK_GRAFT_HEAP_MB to override)")
+  clamped
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

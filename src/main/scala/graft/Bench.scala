@@ -70,8 +70,13 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum + prSecs
-    val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+    // A partial run must NEVER look faster than a clean one: any query
+    // error poisons the headline total (value -1 + failed flag) instead
+    // of summing only the survivors.
+    val failed = errors.nonEmpty
+    val total =
+      if (failed) -1.0 else results.map(_._2).sum + prSecs
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,""" +
       s""""queries":$qs,"errors":$errJson,"sf":"$sfDir",""" +
       s""""pagerank":{"edges":$m,"iterations":$iters,"secs":$prSecs,""" +
       s""""edges_per_sec_per_superstep":$eps}}"""

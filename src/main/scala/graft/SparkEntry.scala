@@ -128,7 +128,8 @@ object SparkEntry {
     "q_embed_radii" -> ((s, dir) => {
       val e = edges(s, dir)
       val pos = graft.embed.ForceLayout.run(s, e,
-        graft.embed.SpectralInit.run(s, e, d = 2), iterations = 3)
+        graft.embed.SpectralInit.run(s, e, d = 2, gramTol = 1e-6),
+        iterations = 3)
       graft.embed.ForceLayout.radii(pos)
         .select(col("id"), round(col("radius") * 1e6, 0).cast("long")
           .as("radius_micro"))
@@ -138,18 +139,23 @@ object SparkEntry {
     "q_embed_seeds" -> ((s, dir) => {
       val e = edges(s, dir)
       val pos = graft.embed.ForceLayout.run(s, e,
-        graft.embed.SpectralInit.run(s, e, d = 2), iterations = 3)
+        graft.embed.SpectralInit.run(s, e, d = 2, gramTol = 1e-6),
+        iterations = 3)
       graft.embed.Influence.seedSelection(pos, 10)
         .select(col("id"), round(col("radius") * 1e6, 0).cast("long")
           .as("radius_micro"))
     }),
 
+    // portable-hash activation coin (Influence.portableCoin) so the
+    // DuckDB oracle can replay the cascade as a recursive-CTE closure
+    // over open edges; the xxhash64 coin stays the production default
     "q_influence_ic" -> ((s, dir) => {
       import s.implicits._
       val e = edges(s, dir)
       val seeds = Edges.degrees(e).orderBy(desc("degree"), col("id"))
         .limit(5).select("id").collect().map(_.getLong(0)).toSeq
-      val n = graft.embed.Influence.icInfluence(s, e, seeds, p = 0.02)
+      val n = graft.embed.Influence.icInfluence(s, e, seeds, p = 0.02,
+        portableHash = true)
       Seq(n).toDF("influenced")
     }),
 
@@ -469,7 +475,25 @@ object SparkEntry {
          |         UNION ALL SELECT dst AS id, src AS nbr FROM edges),
          |$pagerankSqlTail""".stripMargin,
   ) ++ textOracles ++ annOracles ++ eventOracles ++ relOracles ++
-    spearmanOracle ++ eigenOracle
+    spearmanOracle ++ eigenOracle ++ influenceOracle
+
+  /** The IC cascade with a round-independent per-edge coin equals the
+    * reachability closure over "open" edges from the seeds — exactly
+    * what a recursive CTE computes (UNION dedups, so it terminates).
+    */
+  private def influenceOracle: Map[String, String] = Map(
+    "q_influence_ic" ->
+      s"""WITH RECURSIVE $edgesSqlCte,
+         |deg AS (SELECT id, count(*) AS degree FROM nbrs GROUP BY id),
+         |seeds AS (SELECT id FROM deg ORDER BY degree DESC, id LIMIT 5),
+         |reach AS (
+         |  SELECT id FROM seeds
+         |  UNION
+         |  SELECT n.nbr AS id
+         |  FROM reach r JOIN nbrs n ON n.id = r.id
+         |  WHERE ${graft.embed.Influence.portableCoinSql("n.id", "n.nbr", 0L, 0.02)})
+         |SELECT count(*) AS influenced FROM reach""".stripMargin,
+  )
 
   private def eigenOracle: Map[String, String] = Map(
     "q_eigencentrality" -> {
@@ -591,8 +615,12 @@ object SparkEntry {
          |  list_reduce(list_slice(g, CAST(b * 2 + 1 AS INT), CAST(b * 2 + 2 AS INT)),
          |    (a, x) -> (a * 31 + x) % 1000000007) AS bucket
          |  FROM sig, range(0, 8) r(b)),
+         |bcnt AS (SELECT band, bucket FROM bands
+         |         GROUP BY band, bucket HAVING count(*) <= 10000),
          |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-         |  FROM bands x JOIN bands y
+         |  FROM bands x
+         |  JOIN bcnt ON bcnt.band = x.band AND bcnt.bucket = x.bucket
+         |  JOIN bands y
          |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
          |ver AS (SELECT id_a, id_b,
          |  CAST(round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
@@ -654,11 +682,13 @@ object SparkEntry {
     // portable SRP-LSH mirror: weight(seed,p,j) = parity of
     // ((42 + t*1000 + p*1009 + j) * 2654435761) mod 1e9+7; projection
     // folds left-to-right (list_reduce ≡ Spark aggregate), so bucket
-    // sign bits agree bit-for-bit
+    // sign bits agree bit-for-bit. 12 planes per table; the query side
+    // multiprobes its own bucket plus the 12 order-1 perturbations
+    // (one sign bit flipped), mirroring Ann.lshTopK defaults.
     "q_ann_lsh" -> {
       def bucketedSql(src: String, idAlias: String, vec: String): String =
         s"""SELECT $idAlias, $vec, t,
-           |  CAST(list_sum(list_transform(range(0, 4), p ->
+           |  CAST(list_sum(list_transform(range(0, 12), p ->
            |    CASE WHEN list_reduce(list_transform(range(0, len($vec)), j ->
            |        CASE WHEN (((42 + t * 1000 + p * 1009 + j) * 2654435761)
            |                   % 1000000007) % 2 = 1
@@ -673,8 +703,13 @@ object SparkEntry {
          |      FROM embeddings WHERE vec_id < 10),
          |cb AS (${bucketedSql("c", "neighbor_id", "cv")}),
          |qb AS (${bucketedSql("q", "query_id", "qv")}),
+         |qbp AS (SELECT query_id, t,
+         |          CASE WHEN pp = 0 THEN b
+         |               ELSE xor(b, (CAST(1 AS BIGINT) << CAST(pp - 1 AS INT)))
+         |          END AS b
+         |        FROM qb, range(0, 13) r2(pp)),
          |cand AS (SELECT DISTINCT query_id, neighbor_id
-         |  FROM cb JOIN qb ON cb.t = qb.t AND cb.b = qb.b
+         |  FROM cb JOIN qbp ON cb.t = qbp.t AND cb.b = qbp.b
          |  WHERE query_id <> neighbor_id),
          |scored AS (SELECT query_id, neighbor_id,
          |  CAST(round(list_dot_product(qv, cv)

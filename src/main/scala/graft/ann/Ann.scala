@@ -1,7 +1,6 @@
 package graft.ann
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (Array[Float]).
@@ -30,6 +29,27 @@ object Ann {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Per-query top-k of a (query_id, neighbor_id, cosine_micro) frame
+    * via the bounded-top-k TypedImperativeAggregate: map-side PARTIAL
+    * aggregation keeps at most k candidates per query per input
+    * partition, so the shuffle carries <= partitions x |queries| x k
+    * rows. The row_number window this replaces shuffled EVERY candidate
+    * row into at most |queries| reducer keys — a hard parallelism
+    * ceiling at web scale. Ordering (cosine desc, neighbor asc) and the
+    * rank column match the window formulation exactly.
+    */
+  private def topKByCosine(scored: DataFrame, k: Int): DataFrame = {
+    val cand = struct(
+      (-col("cosine_micro").cast("double")).as("negcos"),
+      col("neighbor_id"), col("cosine_micro"))
+    scored.groupBy("query_id")
+      .agg(graft.functions.BoundedTopKAgg.topK(cand, k).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")))
+      .select(col("query_id"), col("col.neighbor_id").as("neighbor_id"),
+        col("col.cosine_micro").as("cosine_micro"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** Exact top-k by cosine for each query row. `queries` must be small
     * (broadcast). Deterministic tie-break on neighbor id.
     * Output: (query_id, neighbor_id, cosine_micro, rank).
@@ -46,10 +66,7 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("qv"), col("cv")) * 1e6, 0).cast("long")
           .as("cosine_micro"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine_micro").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
+    topKByCosine(scored, k)
   }
 
   /** Signed-random-projection bucket id: `planes` sign bits packed into
@@ -98,12 +115,24 @@ object Ann {
     * `tables` independent SRP hash tables (OR-amplification), then exact
     * cosine on the candidate set. Falls back to fewer than k results for
     * queries whose buckets are sparse — the recall/cost knob is
-    * (planes, tables).
+    * (planes, tables, probes).
+    *
+    * Pruning power: `planes` sign bits give 2^planes buckets per table,
+    * so a bucket holds ~corpus/2^planes candidates. The 12-plane default
+    * prunes each table to ~corpus/4096 — at 10^9 vectors that is ~2.4e5
+    * candidates per probe instead of the ~6e7 a 4-plane table leaks.
+    * Recall lost to the finer buckets is bought back with MULTIPROBE on
+    * the query side: each query also probes the `probes` buckets at
+    * Hamming distance 1 from its own (one sign bit flipped — the
+    * standard multiprobe-LSH order-1 perturbation), which is far cheaper
+    * than more tables because the corpus is hashed once.
+    * `probes` < 0 means "probe all planes" (order-1 complete).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              planes: Int = 4, tables: Int = 8,
+              planes: Int = 12, tables: Int = 8, probes: Int = -1,
               idCol: String = "vec_id", vecCol: String = "embedding",
               portableHash: Boolean = false): DataFrame = {
+    val nProbes = math.min(if (probes < 0) planes else probes, planes)
     val c = corpus.select(col(idCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("cv"))
     val q = queries.select(col(idCol).as("query_id"),
@@ -118,7 +147,14 @@ object Ann {
               else srpBucket(col(vc), planes, lit(42L) + t * 1000L))))
         .withColumnRenamed("pos", "t").withColumnRenamed("col", "b")
     val cb = bucketed(c, "cv")
+    // multiprobe fan-out on the (small, broadcast) query side only:
+    // pp = 0 is the query's own bucket, pp = 1..nProbes flips bit pp-1
     val qb = bucketed(q, "qv")
+      .select(col("query_id"), col("qv"), col("t"), explode(
+        transform(sequence(lit(0), lit(nProbes)),
+          pp => when(pp === 0, col("b")).otherwise(
+            col("b").bitwiseXOR(
+              graft.core.Cols.shiftLeftC(lit(1L), pp - 1))))).as("b"))
     val cands = cb.join(broadcast(qb), Seq("t", "b"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
@@ -126,9 +162,6 @@ object Ann {
     val scored = cands.select(col("query_id"), col("neighbor_id"),
       round(cosine(col("qv"), col("cv")) * 1e6, 0).cast("long")
         .as("cosine_micro"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine_micro").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
+    topKByCosine(scored, k)
   }
 }

@@ -118,8 +118,18 @@ object Dedup {
         transform(sequence(lit(0), lit(bands - 1)), b => bandBucket(b))))
       .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val smallBuckets = buckets.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("_bc")).where(col("_bc") <= maxBucket)
+    val bucketCounts = buckets.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("_bc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // No silent truncation: a dropped hot bucket is an explicit, counted
+    // event (the DuckDB oracle mirrors the same cap, so oracle runs stay
+    // comparable even on a corpus that trips it).
+    val dropped = bucketCounts.where(col("_bc") > maxBucket).count()
+    if (dropped > 0)
+      System.err.println(s"[graft.dedup] minHashNearDups: dropped $dropped " +
+        s"LSH bucket(s) larger than maxBucket=$maxBucket; pairs only in " +
+        "those buckets are not emitted (other bands still cover them)")
+    val smallBuckets = bucketCounts.where(col("_bc") <= maxBucket)
       .select("band", "bucket")
     val pruned = buckets.join(smallBuckets, Seq("band", "bucket"), "left_semi")
     val cands = pruned.as("x").join(pruned.as("y"),
@@ -137,6 +147,7 @@ object Dedup {
     // materialize the (small) verified-pair table so the big shingle and
     // bucket caches can be released before returning
     val out = graft.core.Lineage.truncate(verified)
+    bucketCounts.unpersist(false)
     buckets.unpersist(false)
     sh.unpersist(false)
     out
@@ -187,20 +198,58 @@ object Dedup {
   /** SimHash near-dup pairs within `maxHamming`, candidate-limited by
     * matching any of 4 16-bit chunks (pigeonhole: dist <= 3 implies at
     * least one identical chunk).
+    *
+    * Web-scale guards (the same two its MinHash sibling has):
+    *
+    *  1. Identical-simhash docs are collapsed to ONE representative (min
+    *     id) BEFORE the chunk self-join. B copies of a boilerplate
+    *     template share all four chunks, so without this they contribute
+    *     4*B^2/2 candidate rows; instead each group emits B-1 linear
+    *     (keep_id, dup_id, hamming=0) link rows, and only representatives
+    *     enter the join. The full near-dup relation is the transitive
+    *     closure of the returned pairs (standard dedup-graph contract).
+    *  2. A per-(chunk, value) candidate-bucket cap (`maxBucket`), counted
+    *     and logged when tripped — a hot 16-bit chunk value shared by
+    *     near-boilerplate NON-identical docs would otherwise still go
+    *     quadratic. Pairs in a capped bucket can still surface through
+    *     their other three chunks.
     */
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
     val sh = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sh"))
-    val chunked = sh.select(col("id"), col("sh"), posexplode(
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact-simhash groups -> linear link rows + one representative each
+    val reps = sh.groupBy("sh").agg(min(col("id")).as("id"))
+    val groupLinks = sh.join(reps.select(col("sh"), col("id").as("id_a")), "sh")
+      .where(col("id") =!= col("id_a"))
+      .select(col("id_a"), col("id").as("id_b"), lit(0L).as("hamming"))
+    val chunked = reps.select(col("id"), col("sh"), posexplode(
       transform(sequence(lit(0), lit(3)),
         c => graft.core.Cols.shiftRightC(col("sh"), c * 16)
           .bitwiseAND(lit(0xFFFFL)))))
       .select(col("id"), col("sh"), col("pos").as("chunk"), col("col").as("ck"))
-    chunked.as("x").join(chunked.as("y"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chunkCounts = chunked.groupBy("chunk", "ck")
+      .agg(count(lit(1)).as("_bc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val droppedBuckets = chunkCounts.where(col("_bc") > maxBucket).count()
+    if (droppedBuckets > 0)
+      System.err.println(s"[graft.dedup] simHashNearDups: dropped " +
+        s"$droppedBuckets chunk bucket(s) larger than maxBucket=$maxBucket; " +
+        "pairs only in those buckets are not emitted")
+    val pruned = chunked.join(
+      chunkCounts.where(col("_bc") <= maxBucket).select("chunk", "ck"),
+      Seq("chunk", "ck"), "left_semi")
+    val pairs = pruned.as("x").join(pruned.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         hamming(col("x.sh"), col("y.sh")).as("hamming")).distinct()
-      .where(col("hamming") <= maxHamming)
+      .where(col("hamming") <= maxHamming && col("hamming") >= 1)
+    val out = graft.core.Lineage.truncate(pairs.union(groupLinks))
+    chunkCounts.unpersist(false)
+    chunked.unpersist(false)
+    sh.unpersist(false)
+    out
   }
 }
