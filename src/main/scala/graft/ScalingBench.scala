@@ -41,7 +41,11 @@ object ScalingBench {
     val m = e.count()
     def onePass(): Double = {
       val t0 = System.nanoTime()
-      if (engine == "csr") {
+      if (engine == "csrzip") {
+        // already materialized inside run() (the superstep chain is one
+        // job ending in an eager truncate)
+        graft.algos.PageRankCsrZip.run(spark, e, maxIter = supersteps)
+      } else if (engine == "csr") {
         val r = graft.algos.PageRankCsr.run(spark, e, maxIter = supersteps)
         r.ranks.agg(org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1))).head()
@@ -86,7 +90,7 @@ object ScalingBench {
       println(s"""{"metric":"pagerank_fixed8","engine":"$engine","cores":$cores,""" +
         s""""n_vertices":$nVerts,"edges":$m,"secs":$s,"eps":$eps}""")
     } else {
-      Seq("rel", "csr").foreach { engine =>
+      Seq("rel", "csr", "csrzip").foreach { engine =>
         val (m8, s8, eps8) = runAt(8, nVerts, p, supersteps, engine)
         val (m32, s32, eps32) = runAt(32, nVerts, p, supersteps, engine)
         val eff = eps32 / (4.0 * eps8)

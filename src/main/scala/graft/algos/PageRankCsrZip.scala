@@ -1,0 +1,185 @@
+package graft.algos
+
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+import graft.graph.CsrBlocks
+
+/** PageRank over co-partitioned CSR blocks with a ZIP-JOINED rank
+  * vector — the cluster-scale variant of PageRankCsr with NO broadcast
+  * and NO per-superstep driver stage (the O(V) collect/merge/broadcast
+  * loop PageRankCsr runs on the driver is gone entirely).
+  *
+  * Layout: vertex state lives as one dense Array[Double] per hash
+  * partition, aligned index-for-index with that partition's CSR block
+  * (same partitioner, so the per-superstep gather is a zipPartitions —
+  * no shuffle, no join). Each superstep:
+  *
+  *   1. zip(blocks, x): every partition PUSHES x(u)/deg(u) along its
+  *      edges into P per-target-partition dense partial-sum arrays —
+  *      pure primitive-array arithmetic, edge targets pre-resolved at
+  *      build time to (targetPartition, targetLocalIndex) so the inner
+  *      loop is two array reads + one add;
+  *   2. reduceByKey on the target partition id merges the partials
+  *      executor-side (elementwise array add) — the ONLY shuffle, at
+  *      most P x V doubles (<= E doubles once avg degree >= P);
+  *   3. mapValues applies base + alpha * sum in place.
+  *
+  * The driver never touches per-vertex data: convergence (tol > 0) is a
+  * distributed L1-delta action returning one double. At V = 10^9 /
+  * P = 10^4 the per-superstep driver work is O(P) scheduler bookkeeping,
+  * vs PageRankCsr's 8 GB collect + single-threaded merge + 8 GB
+  * broadcast.
+  *
+  * The one-time build cost is an E-sized join resolving every adjacency
+  * entry to its owner's (partition, localIndex) — amortized over the
+  * superstep loop exactly like the relational engine's pre-shuffled
+  * links table.
+  *
+  * Semantics match PageRank.fixedIterUndirected / nx.pagerank on
+  * canonical undirected edges (degree >= 1 everywhere, no dangling
+  * mass), scores within 1e-12 of the relational engine.
+  */
+object PageRankCsrZip {
+
+  case class Result(ranks: DataFrame, iterations: Int, err: Double,
+                    edgesPerSecPerSuperstep: Double)
+
+  /** Per-partition CSR with pre-resolved push targets. */
+  case class ZipBlock(vertexIds: Array[Long], rowPtr: Array[Int],
+                      tgtPart: Array[Int], tgtLocal: Array[Int])
+
+  /** tol <= 0 runs exactly `maxIter` supersteps (one multi-stage job —
+    * no per-superstep action at all); tol > 0 adds one scalar-returning
+    * delta action per superstep.
+    */
+  def run(spark: SparkSession, edges: DataFrame, maxIter: Int,
+          tol: Double = 0.0, alpha: Double = 0.85,
+          partitions: Int = 0): Result = {
+    val sc = spark.sparkContext
+    val p = if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // identity partitioner on keys 0..p-1 (Int.hashCode == value)
+    val part = new HashPartitioner(p)
+
+    val csr = CsrBlocks.build(spark, edges, p).rdd
+      .map(b => (b.partId, b)).partitionBy(part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // one-time target resolution: every colIdx entry -> owner's
+    // (partition, localIndex). E-sized shuffle join, once.
+    val loc = csr.flatMap { case (pid, b) =>
+      b.vertexIds.iterator.zipWithIndex.map { case (v, i) => (v, (pid, i)) }
+    }
+    val resolved = csr.flatMap { case (pid, b) =>
+        b.colIdx.iterator.zipWithIndex.map { case (nbr, j) => (nbr, (pid, j)) }
+      }
+      .join(loc, p)
+      .map { case (_, ((srcPid, j), (tPid, tLoc))) => (srcPid, (j, tPid, tLoc)) }
+      .partitionBy(part)
+    val zblocks = csr.zipPartitions(resolved, preservesPartitioning = true) {
+      (bi, ri) =>
+        if (!bi.hasNext) Iterator.empty
+        else {
+          val (pid, b) = bi.next()
+          val tp = new Array[Int](b.colIdx.length)
+          val tl = new Array[Int](b.colIdx.length)
+          ri.foreach { case (_, (j, tPid, tLoc)) => tp(j) = tPid; tl(j) = tLoc }
+          Iterator.single((pid, ZipBlock(b.vertexIds, b.rowPtr, tp, tl)))
+        }
+    }.persist(StorageLevel.MEMORY_AND_DISK)
+
+    // per-partition state sizes (P ints — the only thing broadcast, once)
+    val sizeRows = zblocks.map { case (pid, b) => (pid, b.vertexIds.length) }
+      .collect()
+    val sizes = new Array[Int](p)
+    sizeRows.foreach { case (pid, s) => sizes(pid) = s }
+    val n = sizes.map(_.toLong).sum
+    val m2 = zblocks.map(_._2.tgtPart.length.toLong).reduce(_ + _)
+    val bSizes = sc.broadcast(sizes)
+    val base = (1.0 - alpha) / n
+    csr.unpersist(false) // zblocks supersede the raw blocks
+
+    def step(x: RDD[(Int, Array[Double])]): RDD[(Int, Array[Double])] = {
+      val msgs = zblocks.zipPartitions(x, preservesPartitioning = false) {
+        (bi, xi) =>
+          if (!bi.hasNext || !xi.hasNext) Iterator.empty
+          else {
+            val (_, b) = bi.next()
+            val xv = xi.next()._2
+            val sz = bSizes.value
+            val out = Array.tabulate(sz.length)(t => new Array[Double](sz(t)))
+            var i = 0
+            while (i < b.vertexIds.length) {
+              val st = b.rowPtr(i); val en = b.rowPtr(i + 1)
+              if (en > st) {
+                val c = xv(i) / (en - st)
+                var j = st
+                while (j < en) { out(b.tgtPart(j))(b.tgtLocal(j)) += c; j += 1 }
+              }
+              i += 1
+            }
+            (0 until sz.length).iterator
+              .filter(t => sz(t) > 0).map(t => (t, out(t)))
+          }
+      }
+      msgs
+        .reduceByKey(part, (a, b) => {
+          var i = 0
+          while (i < a.length) { a(i) += b(i); i += 1 }
+          a
+        })
+        .mapValues { s =>
+          val o = new Array[Double](s.length)
+          var i = 0
+          while (i < s.length) { o(i) = base + alpha * s(i); i += 1 }
+          o
+        }
+    }
+
+    var x: RDD[(Int, Array[Double])] =
+      zblocks.mapValues(b => Array.fill(b.vertexIds.length)(1.0 / n))
+    var iter = 0
+    var err = Double.MaxValue
+    val t0 = System.nanoTime()
+    while (iter < maxIter && (tol <= 0 || err >= n * tol)) {
+      val nx = step(x)
+      if (tol > 0) {
+        nx.persist(StorageLevel.MEMORY_AND_DISK)
+        // distributed L1 delta — ONE scalar reaches the driver
+        err = nx.zipPartitions(x) { (ai, bi) =>
+          if (!ai.hasNext || !bi.hasNext) Iterator.empty
+          else {
+            val a = ai.next()._2; val b = bi.next()._2
+            var s = 0.0; var i = 0
+            while (i < a.length) { s += math.abs(a(i) - b(i)); i += 1 }
+            Iterator.single(s)
+          }
+        }.sum()
+        x.unpersist(false)
+      }
+      x = nx
+      iter += 1
+    }
+    import spark.implicits._
+    val ranks = zblocks.zipPartitions(x) { (bi, xi) =>
+      if (!bi.hasNext || !xi.hasNext) Iterator.empty
+      else {
+        val (_, b) = bi.next(); val xv = xi.next()._2
+        b.vertexIds.iterator.zipWithIndex.map { case (v, i) => (v, xv(i)) }
+      }
+    }.toDF("id", "rank")
+    // eager lineage truncation materializes THROUGH the superstep chain
+    // (timing boundary) and pins the result before the blocks and state
+    // caches are released below
+    val out = graft.core.Lineage.truncate(ranks)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val eps = if (iter > 0) (m2 / 2.0) * iter / secs else 0.0
+    x.unpersist(false)
+    zblocks.unpersist(blocking = true)
+    bSizes.unpersist(false)
+    Result(out, iter, err, eps)
+  }
+}
