@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.algos.PathCentralities
+import graft.embed.{CorrelationBench, ForceLayout}
+import graft.graph.Edges
+
+/** Real-dataset benchmark — the Spark re-expression of the reference's
+  * dataset bench (/root/reference/run_benchmarks.py:200-296): load each
+  * bundled SNAP fixture, embed it (30 iterations, dim 3, L_min = 4.0,
+  * n_neighbors = min(15, n/10), sample 512 — the reference's dataset
+  * config), and report the radius-vs-centrality Spearman matrix through
+  * ResultsSink tables (CSV + Markdown + LaTeX, run_benchmarks.py:497-522).
+  *
+  * Path-based exact centralities (betweenness/closeness/load) follow the
+  * reference's own oracle cutoff: computed only when n < 5000
+  * (run_benchmarks.py:312-314) — facebook_combined (4,039) gets the full
+  * 6-measure matrix, ca-GrQc (5,242) and ca-HepTh (9,877) the
+  * engine-computable 3 (degree / pagerank / eigenvector).
+  *
+  * Run: sbt "runMain graft.DatasetBench [outDir]"
+  */
+object DatasetBench {
+
+  val DefaultDataDir = "/root/reference/data"
+  val OracleCutoff = 5000L // run_benchmarks.py:312-314
+
+  case class DatasetRow(dataset: String, vertices: Long, edgesN: Long,
+                        layoutSecs: Double, corrs: Map[String, Double])
+
+  /** One dataset end-to-end: SNAP scan -> embed -> correlation matrix. */
+  def runDataset(spark: SparkSession, name: String, path: String,
+                 iterations: Int = 30): DatasetRow = {
+    val e = Edges.readSnap(spark, path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = Edges.vertices(e).count()
+    val extras: Map[String, DataFrame] =
+      if (n < OracleCutoff) Map(
+        "betweenness" -> PathCentralities.betweenness(spark, e),
+        "closeness" -> PathCentralities.closeness(spark, e),
+        "load" -> PathCentralities.load(spark, e))
+      else Map()
+    // reference dataset config: dim 3, L_min=4.0, n_neighbors=min(15,n/10),
+    // k_attr/k_inter from run_benchmark defaults (benchmark.py:15-16)
+    val cfg = ForceLayout.Config(d = 3, lMin = 4.0, kAttr = 0.5,
+      kInter = 0.1, nNeighbors = math.min(15L, n / 10).toInt,
+      sampleSize = 512)
+    val rep = CorrelationBench.run(spark, e, d = 3,
+      layoutIters = iterations, layoutCfg = cfg, extraCentralities = extras)
+    e.unpersist(false)
+    DatasetRow(name, rep.n, rep.m, rep.layoutSecs, rep.correlations)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse("results")
+    val dataDir = sys.env.getOrElse("SPARK_GRAFT_SNAP_DIR", DefaultDataDir)
+    val iterations = sys.env.getOrElse("SPARK_GRAFT_DATASET_ITERS", "30").toInt
+    val spark = graft.core.GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt)
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val datasets = Seq(
+      "facebook_combined" -> s"$dataDir/snap-facebook_combined/facebook_combined.txt",
+      "ca-GrQc" -> s"$dataDir/snap-ca-GrQc/ca-GrQc.txt",
+      "ca-HepTh" -> s"$dataDir/snap-ca-HepTh/ca-HepTh.txt")
+    val rows = datasets
+      .filter { case (_, p) => new java.io.File(p).exists() }
+      .map { case (name, p) => runDataset(spark, name, p, iterations) }
+    val measures = Seq("degree", "pagerank", "eigenvector",
+      "betweenness", "closeness", "load")
+    val df = rows.map { r =>
+      (r.dataset, r.vertices, r.edgesN, r.layoutSecs,
+        r.corrs.get("degree"), r.corrs.get("pagerank"),
+        r.corrs.get("eigenvector"), r.corrs.get("betweenness"),
+        r.corrs.get("closeness"), r.corrs.get("load"))
+    }.toDF(Seq("dataset", "vertices", "edges", "layout_secs") ++
+      measures.map(m => s"corr_$m"): _*)
+    graft.core.ResultsSink.save(df, outDir, "dataset_benchmarks")
+    val json = rows.map { r =>
+      val cs = r.corrs.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      s"""{"dataset":"${r.dataset}","n":${r.vertices},"m":${r.edgesN},""" +
+        s""""layout_secs":${r.layoutSecs},"correlations":{$cs}}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"dataset_bench","iterations":$iterations,"results":$json}""")
+    spark.stop()
+  }
+}

@@ -3,7 +3,6 @@ package graft.embed
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Spearman rank correlation — the reference's benchmark metric
   * (scipy.stats.spearmanr, /root/reference/graphem/benchmark.py:173-194):
@@ -20,38 +19,61 @@ import org.apache.spark.storage.StorageLevel
   */
 object Correlation {
 
-  /** Average-rank column table: (joinKey..., rank) for df's `value`.
-    * Deterministic across parallelism: ranks depend only on the global
-    * sort order of the values, not on the sampled range bounds.
+  /** Average ranks for BOTH columns in ONE ranged shuffle: the two value
+    * columns are tagged and unioned, counts grouped by (tag, value),
+    * range-partitioned on (tag, value), locally cumsum'd per (partition,
+    * tag), and per-(partition, tag) offsets (<= 2P rows) broadcast back.
+    * Halves the job count of the old one-column-at-a-time path (one
+    * ranged shuffle + one offsets collect instead of two of each).
+    *
+    * The ranged frame is EAGERLY materialized (Lineage.truncate) BEFORE
+    * the offsets collect: a lost shuffle block between the offsets
+    * action and the rank projection can then never re-sample range
+    * bounds and silently misalign ranks — both reads hit the pinned
+    * checkpointed layout.
+    *
+    * Values are compared after a cast to double (exact for the integral
+    * score columns used here, < 2^53). Returns df plus `_ra`/`_rb` rank
+    * columns. Deterministic across parallelism: ranks depend only on the
+    * global sort order of the values, not on the sampled range bounds.
     */
-  private def avgRanks(df: DataFrame, value: String, rankName: String): DataFrame = {
+  private def avgRanksBoth(df: DataFrame, a: String, b: String): DataFrame = {
     val spark = df.sparkSession
-    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val counts = df.groupBy(col(value)).agg(count(lit(1)).as("_cnt"))
-    val ranged = counts.repartitionByRange(p, col(value))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val wLocal = Window.partitionBy("_pid").orderBy(col(value))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = ranged
+    val p = math.max(1, spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val tagged = df.select(lit(0).as("_tag"), col(a).cast("double").as("_v"))
+      .union(df.select(lit(1).as("_tag"), col(b).cast("double").as("_v")))
+    val counts = tagged.groupBy("_tag", "_v").agg(count(lit(1)).as("_cnt"))
+    val ranged = graft.core.Lineage.truncate(
+      counts.repartitionByRange(p, col("_tag"), col("_v")))
       .withColumn("_pid", spark_partition_id())
-      .withColumn("_cum", sum(col("_cnt")).over(wLocal))
-    // per-partition totals: at most P rows on the driver
-    val totals = ranged.groupBy(spark_partition_id().as("_pid"))
-      .agg(sum(col("_cnt")).as("_tot")).orderBy("_pid").collect()
-    var off = 0L
+    val wLocal = Window.partitionBy("_pid", "_tag").orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("_cum", sum(col("_cnt")).over(wLocal))
+    // ONE collect: per-(partition, tag) totals -> running offsets per tag
+    val totals = ranged.groupBy(col("_pid"), col("_tag"))
+      .agg(sum(col("_cnt")).as("_tot")).orderBy("_tag", "_pid").collect()
+    val runningByTag = scala.collection.mutable.Map[Int, Long]()
     val offsets = totals.map { r =>
-      val o = (r.getInt(0), off); off += r.getLong(1); o
+      val pid = r.getInt(0); val tag = r.getInt(1); val tot = r.getLong(2)
+      val off = runningByTag.getOrElse(tag, 0L)
+      runningByTag(tag) = off + tot
+      (pid, tag, off)
     }
-    val offsetsDf = spark.createDataFrame(offsets.toSeq).toDF("_pid", "_off")
-    // Materialize before unpersisting: ranks are only valid against the
-    // exact range bounds the offsets were collected from.
+    val offsetsDf = spark.createDataFrame(offsets.toSeq)
+      .toDF("_pid", "_tag", "_off")
     val ranked = graft.core.Lineage.truncate(
-      local.join(broadcast(offsetsDf), "_pid")
-        .select(col(value),
+      local.join(broadcast(offsetsDf), Seq("_pid", "_tag"))
+        .select(col("_tag"), col("_v"),
           (col("_off") + col("_cum") - col("_cnt") + (col("_cnt") + 1) / 2.0)
-            .as(rankName)))
-    ranged.unpersist(false)
-    df.join(ranked, value)
+            .as("_r")))
+    graft.core.Lineage.release(ranged)
+    val ra = ranked.where(col("_tag") === 0)
+      .select(col("_v").as("_va"), col("_r").as("_ra"))
+    val rb = ranked.where(col("_tag") === 1)
+      .select(col("_v").as("_vb"), col("_r").as("_rb"))
+    df.join(ra, col(a).cast("double") === col("_va"))
+      .join(rb, col(b).cast("double") === col("_vb"))
+      .drop("_va", "_vb")
   }
 
   /** Guarded Pearson over two columns: NULL when either is constant
@@ -71,8 +93,7 @@ object Correlation {
     * column is constant.
     */
   def spearman(df: DataFrame, a: String, b: String): Double = {
-    val withRa = avgRanks(df, a, "_ra")
-    val withBoth = avgRanks(withRa, b, "_rb")
+    val withBoth = avgRanksBoth(df, a, b)
     val r = withBoth.agg(pearson(col("_ra"), col("_rb"))).head()
     if (r.isNullAt(0)) Double.NaN else r.getDouble(0)
   }
@@ -82,8 +103,7 @@ object Correlation {
     */
   def spearmanDf(df: DataFrame, a: String, b: String,
                  outName: String = "spearman_micro"): DataFrame = {
-    val withRa = avgRanks(df, a, "_ra")
-    val withBoth = avgRanks(withRa, b, "_rb")
+    val withBoth = avgRanksBoth(df, a, b)
     withBoth.agg(round(pearson(col("_ra"), col("_rb")) * 1e6, 0)
       .cast("long").as(outName))
   }

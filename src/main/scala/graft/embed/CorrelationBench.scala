@@ -35,7 +35,8 @@ object CorrelationBench {
     val n = Edges.vertices(e).count()
 
     val t0 = System.nanoTime()
-    val init = SpectralInit.run(spark, e, d)
+    // layout-refinement path: 1e-6 gram stop (see SpectralInit scaladoc)
+    val init = SpectralInit.run(spark, e, d, gramTol = 1e-6)
     val pos = ForceLayout.run(spark, e, init, layoutIters, layoutCfg)
     val layoutSecs = (System.nanoTime() - t0) / 1e9
 

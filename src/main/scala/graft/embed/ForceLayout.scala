@@ -60,8 +60,16 @@ object ForceLayout {
     val edgeCount = eidEdges.count()
     val sampleSize = math.min(cfg.sampleSize, edgeCount).toInt
 
-    var pos = graft.core.Lineage.truncate(positions)
-    var iter = 0
+    // Resume from the latest committed layout snapshot, if any: the
+    // layout is fully deterministic (fixed hash-ordered sample, quirk
+    // #1), so a run killed at iteration k and resumed here produces
+    // positions identical to an uninterrupted run.
+    val (startIter, startPos) = cfg.checkpoint.flatMap(_.resume()) match {
+      case Some((k, snap)) => (math.min(k + 1, iterations), snap)
+      case None => (0, positions)
+    }
+    var pos = graft.core.Lineage.truncate(startPos)
+    var iter = startIter
     while (iter < iterations) {
       // gather endpoint positions
       val ep = eidEdges

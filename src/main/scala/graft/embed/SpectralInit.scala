@@ -29,9 +29,17 @@ import graft.graph.Edges
   */
 object SpectralInit {
 
-  /** Returns (id, pos: array<double>[d]). */
+  /** Returns (id, pos: array<double>[d]).
+    *
+    * `gramTol` is the relative Gram-matrix-delta stop: 1e-9 drives the
+    * subspace to numerical stagnation (right for standalone spectral
+    * embeddings); callers that feed a force-layout REFINEMENT loop can
+    * pass ~1e-6 — the layout iterations dominate the final geometry and
+    * the extra spectral supersteps past 1e-6 are pure fixed cost.
+    */
   def run(spark: SparkSession, edges: DataFrame, d: Int,
-          maxIter: Int = 60, seed: Long = 42): DataFrame = {
+          maxIter: Int = 60, seed: Long = 42,
+          gramTol: Double = 1e-9): DataFrame = {
     val k = d + 1
     val nbrs = Edges.neighbors(edges)
     val deg = Edges.degrees(edges)
@@ -39,13 +47,20 @@ object SpectralInit {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // pre-shuffled ONCE on the per-iteration join key: every SpMV's
     // gather join then reuses this exchange instead of reshuffling the
-    // (big) weighted adjacency each iteration
+    // (big) weighted adjacency each iteration. The shuffle width is
+    // sized to the DATA (~250k adjacency rows per partition, capped at
+    // the session setting): this loop runs O(maxIter) tiny jobs, and at
+    // test/bench graph sizes full-width shuffles make per-superstep task
+    // scheduling the dominant cost. At web scale the cap is the session
+    // width — same plan, full parallelism.
     val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val eCount = edges.count()
+    val pEff = math.max(1, math.min(p, (2 * eCount / 250000L).toInt + 1))
     val adj = nbrs.join(deg.select(col("id").as("nbr"), col("deg").as("ndeg")), "nbr")
       .join(deg, "id")
       .select(col("id"), col("nbr"),
         (lit(1.0) / sqrt(col("deg") * col("ndeg"))).as("w"))
-      .repartition(p, col("nbr"))
+      .repartition(pEff, col("nbr"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     adj.count()
 
@@ -104,7 +119,7 @@ object SpectralInit {
       val delta = prevGram.map(pg => breeze.linalg.max(
         breeze.numerics.abs(gm - pg))).getOrElse(Double.MaxValue)
       val scale = breeze.linalg.max(breeze.numerics.abs(gm))
-      done = delta < 1e-9 * math.max(scale, 1e-12)
+      done = delta < gramTol * math.max(scale, 1e-12)
       prevGram = Some(gm)
       iter += 1
     }
