@@ -317,6 +317,21 @@ object SparkEntry {
       Ann.lshTopK(emb, emb.where(col("vec_id") < 10), 5, portableHash = true)
         .orderBy("query_id", "rank")
     }),
+    // embedding-cosine near-dup detection over a corpus with PLANTED
+    // near-duplicates (every 10th vector re-added slightly perturbed
+    // under vec_id + 1e6 — same pattern as the text dupCorpus);
+    // background pairs top out at cosine ~0.51 on this table, planted
+    // pairs sit ~0.999, so threshold 0.9 separates exactly
+    "q_embedding_dedup" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val pert = emb.where(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.001) + lit(0.01))
+            .as("embedding"))
+      Ann.embeddingNearDups(emb.union(pert), threshold = 0.9,
+        portableHash = true).orderBy("id_a", "id_b")
+    }),
   )
 
   private def eventQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -721,6 +736,41 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, cosine_micro, rank
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
+
+    // embedding near-dup mirror: same planted perturbation, same
+    // portable 12-plane SRP buckets, same bucket cap, exact cosine
+    // verify — bit-for-bit the Spark pipeline in DuckDB SQL
+    "q_embedding_dedup" ->
+      s"""WITH base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+         |             FROM embeddings),
+         |pert AS (SELECT id + 1000000 AS id,
+         |           list_transform(v, x -> x * 1.001 + 0.01) AS v
+         |         FROM base WHERE id % 10 = 0),
+         |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+         |cb AS (SELECT id, t,
+         |  CAST(list_sum(list_transform(range(0, 12), p ->
+         |    CASE WHEN list_reduce(list_transform(range(0, len(v)), j ->
+         |        CASE WHEN (((42 + t * 1000 + p * 1009 + j) * 2654435761)
+         |                   % 1000000007) % 2 = 1
+         |             THEN v[j + 1] ELSE -v[j + 1] END),
+         |        (a, b) -> a + b) > 0
+         |      THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END))
+         |    AS BIGINT) AS b
+         |  FROM corpus, range(0, 8) r(t)),
+         |bcnt AS (SELECT t, b FROM cb GROUP BY t, b HAVING count(*) <= 10000),
+         |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+         |  FROM cb x
+         |  JOIN bcnt ON bcnt.t = x.t AND bcnt.b = x.b
+         |  JOIN cb y ON x.t = y.t AND x.b = y.b AND x.id < y.id),
+         |ver AS (SELECT id_a, id_b,
+         |  CAST(round(list_dot_product(a.v, b.v)
+         |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+         |    * 1e6, 0) AS BIGINT) AS cosine_micro
+         |  FROM cand
+         |  JOIN corpus a ON a.id = cand.id_a
+         |  JOIN corpus b ON b.id = cand.id_b)
+         |SELECT id_a, id_b, cosine_micro FROM ver
+         |WHERE cosine_micro >= 900000 ORDER BY id_a, id_b""".stripMargin,
 
     // q_media_features mirror: rebuild the synthetic media table from
     // range(500) with the same modular arithmetic, then brute-force

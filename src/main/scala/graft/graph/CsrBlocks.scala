@@ -66,7 +66,10 @@ object CsrBlocks {
     * of x(u) — per-partition array iteration, no shuffle until the
     * (tiny) result union. Broadcast-x is the test-scale path; at
     * cluster scale x is co-partitioned with the blocks by the same hash
-    * and zipped instead of broadcast.
+    * and zipped instead of broadcast — that variant is realized in
+    * `graft.algos.PageRankCsrZip` (dense per-partition state arrays,
+    * pre-resolved push targets, one bounded reduceByKey per superstep,
+    * zero driver-side per-vertex work).
     */
   def spmvBroadcast(spark: SparkSession, blocks: Dataset[CsrBlock],
                     x: Map[Long, Double]): DataFrame = {

@@ -135,6 +135,27 @@ class Round3Spec extends SparkSuite {
     assert(recall >= 0.5, s"recall@5 = $recall")
   }
 
+  test("embedding near-dups: planted perturbed copies found; hot buckets capped") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val base = (0 until 300).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val pert = base.filter(_._1 % 10 == 0).map { case (id, v) =>
+      (id + 10000L, v.map(x => x * 1.001f + 0.01f))
+    }
+    val df = (base ++ pert).toDF("vec_id", "embedding")
+    val got = Ann.embeddingNearDups(df, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = base.filter(_._1 % 10 == 0).map(p => (p._1, p._1 + 10000L)).toSet
+    assert(planted.subsetOf(got),
+      s"missing planted pairs: ${planted.diff(got).take(5)}")
+    // a degenerate identical-vector corpus is routed out by the cap
+    val same = (0L until 50L).map(i => (i, Array.fill(16)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val capped = Ann.embeddingNearDups(same, threshold = 0.9, maxBucket = 10)
+    assert(capped.count() == 0)
+  }
+
   // --- zip-join CSR PageRank ------------------------------------------------
 
   test("zip-join CSR PageRank matches the relational engine to 1e-12") {
