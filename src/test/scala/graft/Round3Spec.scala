@@ -179,6 +179,54 @@ class Round3Spec extends SparkSuite {
     }
   }
 
+  // --- embed drift fixture ---------------------------------------------------
+
+  test("embedding radii match the committed fixture (drift catch)") {
+    // The embed queries have no relational oracle (driver rows-only);
+    // this pinned fixture catches SILENT semantic drift instead.
+    // Regenerate with `sbt "Test/runMain graft.RadiiFixtureGen"` only on
+    // an intentional semantics change. Tolerance 1e-6 sits far above the
+    // ~1e-12 run-to-run float-merge jitter and far below any real change.
+    val expect = Map(
+      0L -> 2.502549005517,
+      1L -> 2.633825632507,
+      2L -> 3.133140545605,
+      3L -> 2.280810999629,
+      4L -> 2.712983027938,
+      5L -> 1.549799022996,
+      6L -> 1.424682737298,
+      7L -> 2.737108530508,
+      8L -> 1.980703299971,
+      9L -> 1.326104929496)
+    val e = graft.generators.Generators.ba(spark, 100, 2, 5)
+    val init = graft.embed.SpectralInit.run(spark, e, d = 2, gramTol = 1e-6)
+    val pos = graft.embed.ForceLayout.run(spark, e, init, 3)
+    val got = graft.embed.ForceLayout.radii(pos)
+      .where(col("id") < 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    expect.foreach { case (id, v) =>
+      assert(math.abs(got(id) - v) < 1e-6, s"radius drift at v$id: ${got(id)} vs $v")
+    }
+  }
+
+  // --- dataset registry ------------------------------------------------------
+
+  test("dataset registry: reference metadata; bundled fixtures load canonically") {
+    val ds = graft.ingest.Datasets
+    assert(ds.registry.size == 8)
+    val fb = ds.meta("snap-facebook_combined").get
+    assert(fb.vertices == 4039L && fb.edges == 88234L && !fb.directed)
+    // the published SNAP count (14,496) includes the file's 12
+    // self-loops; canonicalization drops them (triu(k=1) semantics,
+    // reference quirk #6) -> exactly 14,484 canonical edges
+    ds.localPath("snap-ca-GrQc").foreach { _ =>
+      assert(ds.load(spark, "snap-ca-GrQc").count() == 14484L)
+    }
+    // non-bundled datasets are absent offline and load() says why
+    assert(ds.localPath("snap-ego-twitter").isEmpty)
+    intercept[IllegalArgumentException] { ds.load(spark, "no_such_dataset") }
+  }
+
   // --- portable-coin IC ------------------------------------------------------
 
   test("portable-coin IC influence equals a local reachability-closure oracle") {
