@@ -23,8 +23,12 @@ object ExplainAudit {
       SparkEntry.queries("q_rel_agg")(spark, dir))
     show("q_doc_tokens (column pruning on documents)")(
       SparkEntry.queries("q_doc_tokens")(spark, dir))
-    show("ann topk (broadcast nested loop)")(
+    show("ann topk (broadcast nested loop + bounded-heap ObjectHashAggregate)")(
       SparkEntry.queries("q_ann_topk")(spark, dir))
+    show("ann lsh (bucket equi-join, multiprobe explode, bounded top-k; NO window)")(
+      SparkEntry.queries("q_ann_lsh")(spark, dir))
+    show("spearman (join-based ranks; no Window node in the final plan)")(
+      SparkEntry.queries("q_spearman_deg_pr")(spark, dir))
     val t0 = System.nanoTime()
     val n = graft.text.Dedup.minHashNearDups(
       spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",

@@ -49,6 +49,16 @@ class HarnessSpec extends SparkSuite {
     assert(rep.results.find(_.method == "graphem_radii").get.seeds.size == 3)
   }
 
+  test("flagship entry(): pages -> links -> ids -> convergent PageRank -> top URLs") {
+    val top = SparkEntry.entry(spark).collect()
+    assert(top.length == 20)
+    // ranks positive, descending, and urls well-formed
+    val ranks = top.map(_.getDouble(1))
+    assert(ranks.forall(_ > 0.0))
+    assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b })
+    assert(top.map(_.getString(0)).forall(_.startsWith("http")))
+  }
+
   test("local IC evaluator matches the distributed portable-coin loop") {
     val e = graft.generators.Generators.ws(spark, 150, 4, 0.2, 9)
     val nbrs = graft.embed.Influence.collectNeighbors(e)
