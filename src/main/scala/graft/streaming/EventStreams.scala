@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface over the events table shape.
@@ -50,4 +50,82 @@ object EventStreams {
       .queryName(tableName)
       .outputMode(OutputMode.Append()) // watermark allows append finalization
       .start()
+
+  /** Open-session state for one user: `sess` is the per-user session
+    * ordinal (matching the batch q_events_sessions numbering), the rest
+    * the running aggregate of the currently-open session.
+    */
+  case class SessState(sess: Long, startUs: Long, lastUs: Long,
+                       n: Long, sum: Double)
+
+  /** One closed session — same columns/units as the batch
+    * q_events_sessions twin.
+    */
+  case class SessionRow(user_id: Long, sess: Long, session_start_us: Long,
+                        n_events: Long, value_micro: Long)
+
+  /** STATEFUL streaming sessionization (gap windows) — the custom-state
+    * path the batch window formulation cannot express incrementally:
+    * `flatMapGroupsWithState` keyed by user holds the one open session
+    * per user, closes it when a gap > `gapMinutes` arrives, and uses an
+    * EVENT-TIME TIMEOUT to flush sessions whose gap has provably passed
+    * (watermark > last event + gap) — so state is bounded by |active
+    * users| and every session is eventually emitted exactly once, even
+    * for users that simply stop sending.
+    *
+    * Scale shape: state is one small fixed-size record per user key
+    * (hash-distributed by the streaming state store); each micro-batch
+    * touches only the users present in it plus timed-out keys.
+    */
+  def sessionize(spark: SparkSession, events: DataFrame,
+                 gapMinutes: Int = 30,
+                 watermark: String = "1 hour"): Dataset[SessionRow] = {
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val typed = events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[(Long, Long, java.sql.Timestamp, Double)]
+
+    def closed(user: Long, s: SessState): SessionRow =
+      SessionRow(user, s.sess, s.startUs, s.n, math.round(s.sum * 1e6))
+
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[SessState, SessionRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user, it, state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed lastUs + gap: the open session is final
+            val out = state.getOption.map(s => closed(user, s)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            // fold this batch's events (in event-time order) into the
+            // open session, emitting sessions closed by a gap
+            val evs = it.toArray.map { case (_, eid, ts, v) =>
+              (ts.getTime * 1000L, eid, v)
+            }.sortBy(e => (e._1, e._2))
+            var cur = state.getOption
+            val out = Seq.newBuilder[SessionRow]
+            evs.foreach { case (us, _, v) =>
+              cur match {
+                case Some(s) if us - s.lastUs <= gapUs =>
+                  cur = Some(s.copy(lastUs = math.max(s.lastUs, us),
+                    n = s.n + 1, sum = s.sum + v))
+                case Some(s) =>
+                  out += closed(user, s)
+                  cur = Some(SessState(s.sess + 1, us, us, 1, v))
+                case None =>
+                  cur = Some(SessState(0, us, us, 1, v))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // flush when the watermark proves no event can extend it
+              state.setTimeoutTimestamp(s.lastUs / 1000L + gapUs / 1000L + 1L)
+            }
+            out.result().iterator
+          }
+      }
+  }
 }

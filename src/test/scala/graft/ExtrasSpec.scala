@@ -67,6 +67,45 @@ class ExtrasSpec extends SparkSuite {
     }
   }
 
+  test("stateful streaming sessionization: gap windows across micro-batches + timeout flush") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ms = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val events = ms.toDF.toDF("user_id", "event_id", "ts", "value")
+    val q = EventStreams.sessionize(spark, events)
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 opens a session (2 events), user 2 one event
+      ms.addData((1L, 1L, ts(1000), 1.0), (1L, 2L, ts(1060), 2.0),
+        (2L, 10L, ts(5000), 1.5))
+      q.processAllAvailable()
+      // batch 2: user 1's event 1840s after their last -> gap closes s0
+      // ACROSS the micro-batch boundary (state carried)
+      ms.addData((1L, 3L, ts(2900), 0.5))
+      q.processAllAvailable()
+      // two sentinel batches far in the future: the first advances the
+      // watermark, the second triggers the batch in which event-time
+      // timeouts fire and flush every still-open session
+      ms.addData((9999L, 99L, ts(900000), 0.0))
+      q.processAllAvailable()
+      ms.addData((9999L, 100L, ts(1800000), 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sess_stream")
+      .where(col("user_id") =!= 9999L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val want = Set(
+      (1L, 0L, 1000000000L, 2L, 3000000L),  // closed by the in-stream gap
+      (1L, 1L, 2900000000L, 1L, 500000L),   // flushed by timeout
+      (2L, 0L, 5000000000L, 1L, 1500000L))  // flushed by timeout
+    assert(got == want, s"got $got")
+  }
+
   test("multimodal: schema, deterministic features, ANN shape") {
     val media = Multimodal.synthesize(spark, 60)
     assert(media.count() == 60)
