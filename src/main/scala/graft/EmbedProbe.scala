@@ -21,7 +21,7 @@ object EmbedProbe {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     println(s"edges=${e.count()}")
     var t0 = System.nanoTime()
-    val init = graft.embed.SpectralInit.run(spark, e, d = 2)
+    val init = graft.embed.SpectralInit.run(spark, e, d = 2, gramTol = 1e-6)
     val sJobs = jobs; val sBusy = busy
     println(f"spectral_secs=${(System.nanoTime()-t0)/1e9}%.1f jobs=$sJobs jobbusy=$sBusy%.1f")
     t0 = System.nanoTime()

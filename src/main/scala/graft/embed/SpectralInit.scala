@@ -75,10 +75,23 @@ object SpectralInit {
     var iter = 0
     var prevGram: Option[DenseMatrix[Double]] = None
     var done = false
+    // AQE re-plans and materializes every Exchange as its own job —
+    // ~6 scheduler round-trips per superstep for a loop whose plan
+    // shape never changes. Fixed-shape iterations run with AQE off
+    // (the adj side is already explicitly pre-partitioned); restored
+    // after the loop.
+    // with AQE off the loop's exchanges fall back to the session
+    // shuffle width — size them to the data too (AQE's coalescing is
+    // exactly what pEff precomputes here)
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val sppWas = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", pEff.toString)
     // ONE job per iteration: y and the previous iteration's lazy x
     // checkpoint both materialize inside the Gram aggregate action;
     // frames superseded before that action are released right after it
     var toRelease: List[DataFrame] = Nil
+    try {
     while (iter < maxIter && !done) {
       // y = P x = (x + M x)/2 ; M x via gather join + agg
       val msgs = adj.join(x.withColumnRenamed("id", "nbr"), "nbr")
@@ -122,6 +135,10 @@ object SpectralInit {
       done = delta < gramTol * math.max(scale, 1e-12)
       prevGram = Some(gm)
       iter += 1
+    }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.shuffle.partitions", sppWas)
     }
     // drop the trivial leading eigenvector: columns 1..d. Materialize
     // before releasing the frames the lazy x still depends on.
