@@ -38,24 +38,35 @@ object TriangleCount {
       when(fwd, col("d2")).otherwise(col("d1")).as("ddeg"))
   }
 
-  /** Global triangle count as a single-row DataFrame. Counts eagerly so
-    * the oriented-edge cache is released before returning.
+  /** Global triangle count as a single-row DataFrame.
+    *
+    * Counting (unlike enumeration, see perVertex) never needs the wedge
+    * stream materialized: in the degree-oriented DAG every triangle
+    * {a,b,c} (a < b < c in the total order) is counted exactly once at
+    * its lowest edge (a,b) as a common out-neighbor of a and b, so
+    *
+    *   triangles = sum over oriented edges (u,v) of |N+(u) ∩ N+(v)|.
+    *
+    * Plan shape: one groupBy builds the out-adjacency arrays (each
+    * bounded O(sqrt m) by the orientation), two joins attach them to the
+    * edge table, and the intersection sizes aggregate map-side — the
+    * wedge formulation instead shuffled the FULL wedge stream (O(sum
+    * d_out^2) rows — 245M at sf0.1's dense graph) into a semi-join.
+    * Counts eagerly so the adjacency cache is released before returning.
     */
   def globalCount(spark: SparkSession, edges: DataFrame): DataFrame = {
     import spark.implicits._
-    val o = orient(spark, edges).persist(StorageLevel.MEMORY_AND_DISK)
-    val e1 = o.select(col("src").as("a"), col("dst").as("b"),
-      col("ddeg").as("bd"))
-    val e2 = o.select(col("src").as("a"), col("dst").as("c"),
-      col("ddeg").as("cd"))
-    // wedge (a->b, a->c) with b before c in the (degree, id) total order
-    val wedges = e1.join(e2, Seq("a"))
-      .where(col("bd") < col("cd") ||
-        (col("bd") === col("cd") && col("b") < col("c")))
-    val closing = o.select(col("src").as("b"), col("dst").as("c"))
-    val tri = wedges.join(closing, Seq("b", "c"), "left_semi")
-    val n = tri.agg(count(lit(1))).head().getLong(0)
-    o.unpersist(false)
+    val o = orient(spark, edges)
+    val adj = o.groupBy(col("src").as("id"))
+      .agg(collect_list(col("dst")).as("nbrs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val joined = o.select(col("src"), col("dst"))
+      .join(adj.select(col("id").as("src"), col("nbrs").as("ns")), "src")
+      .join(adj.select(col("id").as("dst"), col("nbrs").as("nd")), "dst")
+    val n = joined
+      .select(size(array_intersect(col("ns"), col("nd"))).cast("long").as("t"))
+      .agg(coalesce(sum(col("t")), lit(0L))).head().getLong(0)
+    adj.unpersist(false)
     Seq(n).toDF("triangles")
   }
 
