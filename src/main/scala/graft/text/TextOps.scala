@@ -57,13 +57,16 @@ object TextOps {
   }
 
   /** Rolling polynomial hash of the character stream:
-    * h = fold(chars)(h * 31 + code) mod 1e9+7. Karp-Rabin-style document
-    * fingerprint, exactly reproducible in DuckDB via
+    * h = fold(codepoints)(h * 31 + cp) mod 1e9+7. Karp-Rabin-style
+    * document fingerprint, exactly reproducible in DuckDB via
     * list_reduce(list_transform(str_split(text,''), ascii), ...).
+    * Backed by the native codegen RollingHashExpr — the old
+    * aggregate(split(text,"")) HOF fold ran interpreted
+    * (CodegenFallback) and allocated one UTF8String per character,
+    * dominating the portable minhash/simhash paths.
     */
   def rollingHash(text: Column): Column =
-    aggregate(split(text, ""), lit(0L),
-      (acc, c) => (acc * 31L + ascii(c)) % 1000000007L)
+    graft.functions.RollingHash(text)
 
   /** 3-token shingles of a document (w1 w2 w3 strings), distinct.
     * Documents with fewer than k tokens yield an EMPTY set (matching
