@@ -92,24 +92,12 @@ object Ann {
     * the parity of ((seed + p*1009 + j) * 2654435761) mod 1e9+7 —
     * plain BIGINT arithmetic both engines compute identically (xxhash64
     * is Spark-only). Projection sums fold left-to-right, matching
-    * DuckDB's list_reduce, so the sign bits agree exactly.
+    * DuckDB's list_reduce, so the sign bits agree exactly. Backed by the
+    * native codegen SrpBucketPortableExpr (the HOF formulation ran
+    * planes x dim interpreted lambdas per row).
     */
-  def srpBucketPortable(vec: Column, planes: Int, seed: Column): Column = {
-    val projections = transform(sequence(lit(0), lit(planes - 1)), p =>
-      aggregate(
-        zip_with(vec,
-          sequence(lit(0), size(vec) - 1),
-          (x, j) => when(
-            (((seed + p.cast("long") * 1009L + j.cast("long")) * 2654435761L)
-              % 1000000007L) % 2L === 1L, x)
-            .otherwise(-x)),
-        lit(0.0), (s, v) => s + v))
-    aggregate(
-      zip_with(projections, sequence(lit(0), lit(planes - 1)),
-        (proj, p) => when(proj > 0, graft.core.Cols.shiftLeftC(lit(1L), p))
-          .otherwise(lit(0L))),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
-  }
+  def srpBucketPortable(vec: Column, planes: Int, seed: Column): Column =
+    graft.functions.SrpBucketPortable(vec, seed, planes)
 
   /** Approximate top-k: score only same-bucket candidates across
     * `tables` independent SRP hash tables (OR-amplification), then exact
