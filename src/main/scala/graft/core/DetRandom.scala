@@ -35,4 +35,14 @@ object DetRandom {
     */
   def hash64(seed: Long, cols: Column*): Column =
     xxhash64((lit(seed) +: cols): _*)
+
+  /** Driver-local replica of `uniform(seed, lit(id))` for the
+    * small-graph fast paths: Spark's xxhash64 chains XXH64.hashLong
+    * over the row's fields starting from seed 42, so the column and
+    * this function produce IDENTICAL doubles for the same (seed, id).
+    */
+  def uniformLocal(seed: Long, id: Long): Double = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    (XXH64.hashLong(id, XXH64.hashLong(seed, 42L)) & Mask52) * Inv52
+  }
 }

@@ -122,9 +122,12 @@ object ForceLayout {
       }.reduce(_ + _)
       val sampledT = graft.core.Lineage.truncate(sampled) // tiny; used twice
       val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
-      val cand = struct(sqdist.as("d2"), col("eid").as("j_eid"),
-        col("src").as("j_src"), col("dst").as("j_dst"),
-        col("p1").as("jp1"), col("p2").as("jp2"))
+      // the heap carries ONLY (d2, j_eid): the E x sample stream then
+      // builds 16-byte candidates instead of structs dragging the two
+      // position arrays + endpoints through every insert and the
+      // partial/final shuffle — the winners' payload (sample x k rows)
+      // is joined back from the cached mids afterwards, for free
+      val cand = struct(sqdist.as("d2"), col("eid").as("j_eid"))
       val topk = mids.repartition(p).crossJoin(broadcast(sampledT))
         .select(col("i_eid"), cand.as("cand"))
         .groupBy(col("i_eid"))
@@ -138,10 +141,10 @@ object ForceLayout {
           col("ip1"), col("ip2"), posexplode(col("nn")))
         .where(col("pos") >= 1)
         .select(col("i_eid"), col("i_src"), col("i_dst"),
-          col("ip1"), col("ip2"),
-          col("col.j_eid").as("j_eid"), col("col.j_src").as("j_src"),
-          col("col.j_dst").as("j_dst"),
-          col("col.jp1").as("jp1"), col("col.jp2").as("jp2"))
+          col("ip1"), col("ip2"), col("col.j_eid").as("j_eid"))
+        .join(mids.select(col("eid").as("j_eid"), col("src").as("j_src"),
+          col("dst").as("j_dst"), col("p1").as("jp1"), col("p2").as("jp2")),
+          "j_eid")
 
       // candidate validity + 2D intersection test
       val valid = knn.where(col("i_eid") < col("j_eid"))

@@ -29,6 +29,17 @@ import graft.graph.Edges
   */
 object SpectralInit {
 
+  /** Below this vertex count the SAME orthogonal iteration runs on the
+    * driver (the reference's own spectral init is host-local ARPACK,
+    * embedder.py:141, and PathCentralities takes the same posture): the
+    * V x (d+1) state is megabytes while the distributed loop pays
+    * ~0.6 s of job latency per superstep — 60 supersteps of pure
+    * O(E(d+1)) array math finish in well under a second. Identical
+    * algorithm, init hashes, Gram stop, and per-row arithmetic, so the
+    * two paths agree to float-merge jitter (parity-tested).
+    */
+  val LocalCap = 100000
+
   /** Returns (id, pos: array<double>[d]).
     *
     * `gramTol` is the relative Gram-matrix-delta stop: 1e-9 drives the
@@ -39,12 +50,17 @@ object SpectralInit {
     */
   def run(spark: SparkSession, edges: DataFrame, d: Int,
           maxIter: Int = 60, seed: Long = 42,
-          gramTol: Double = 1e-9): DataFrame = {
+          gramTol: Double = 1e-9, localCap: Int = LocalCap): DataFrame = {
     val k = d + 1
     val nbrs = Edges.neighbors(edges)
     val deg = Edges.degrees(edges)
       .select(col("id"), col("degree").cast("double").as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val vCount = deg.count()
+    if (vCount > 0 && vCount <= localCap) {
+      deg.unpersist(false)
+      return runLocal(spark, edges, d, maxIter, seed, gramTol)
+    }
     // pre-shuffled ONCE on the per-iteration join key: every SpMV's
     // gather join then reuses this exchange instead of reshuffling the
     // (big) weighted adjacency each iteration. The shuffle width is
@@ -149,5 +165,94 @@ object SpectralInit {
     deg.unpersist(false)
     adj.unpersist(false)
     out
+  }
+
+  /** Driver-local execution of the identical orthogonal iteration (see
+    * LocalCap): same sqrt(deg)/hash init, same y = (x + Mx)/2 update,
+    * same Gram/Cholesky orthonormalization and stop.
+    */
+  private def runLocal(spark: SparkSession, edges: DataFrame, d: Int,
+                       maxIter: Int, seed: Long, gramTol: Double): DataFrame = {
+    val k = d + 1
+    val es = edges.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ids = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val idx = ids.zipWithIndex.toMap
+    val n = ids.length
+    val degA = new Array[Int](n)
+    es.foreach { case (a, b) => degA(idx(a)) += 1; degA(idx(b)) += 1 }
+    val rowPtr = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { rowPtr(i + 1) = rowPtr(i) + degA(i); i += 1 }
+    val colIdx = new Array[Int](rowPtr(n))
+    val cursor = rowPtr.clone()
+    es.foreach { case (a, b) =>
+      val (ia, ib) = (idx(a), idx(b))
+      colIdx(cursor(ia)) = ib; cursor(ia) += 1
+      colIdx(cursor(ib)) = ia; cursor(ib) += 1
+    }
+    // NOTE: 1/sqrt(deg_v * deg_u) as ONE sqrt, exactly like the
+    // distributed path's `w` column (sqrt(a*b) != sqrt(a)*sqrt(b) in
+    // the last ulp; parity matters for the cross-path test)
+    val degD = degA.map(_.toDouble)
+
+    var x = Array.tabulate(n, k) { (v, j) =>
+      if (j == 0) math.sqrt(degA(v).toDouble)
+      else graft.core.DetRandom.uniformLocal(seed + j, ids(v)) - 0.5
+    }
+    var iter = 0
+    var prevGram: Option[DenseMatrix[Double]] = None
+    var done = false
+    while (iter < maxIter && !done) {
+      // y = (x + Mx)/2, M = D^-1/2 A D^-1/2
+      val y = Array.ofDim[Double](n, k)
+      var v = 0
+      while (v < n) {
+        var c = 0
+        while (c < k) {
+          var s = 0.0
+          var e = rowPtr(v)
+          while (e < rowPtr(v + 1)) {
+            val u = colIdx(e)
+            s += x(u)(c) * (1.0 / math.sqrt(degD(v) * degD(u)))
+            e += 1
+          }
+          y(v)(c) = (x(v)(c) + s) * 0.5
+          c += 1
+        }
+        v += 1
+      }
+      val gm = DenseMatrix.zeros[Double](k, k)
+      for (a <- 0 until k; b <- a until k) {
+        var s = 0.0
+        var vv = 0
+        while (vv < n) { s += y(vv)(a) * y(vv)(b); vv += 1 }
+        gm(a, b) = s; gm(b, a) = s
+      }
+      val lInvT = inv(cholesky(gm)).t
+      val xn = Array.ofDim[Double](n, k)
+      var vv = 0
+      while (vv < n) {
+        var j = 0
+        while (j < k) {
+          var s = 0.0
+          var i2 = 0
+          while (i2 <= j) { s += y(vv)(i2) * lInvT(i2, j); i2 += 1 }
+          xn(vv)(j) = s
+          j += 1
+        }
+        vv += 1
+      }
+      x = xn
+      val delta = prevGram.map(pg => breeze.linalg.max(
+        breeze.numerics.abs(gm - pg))).getOrElse(Double.MaxValue)
+      val scale = breeze.linalg.max(breeze.numerics.abs(gm))
+      done = delta < gramTol * math.max(scale, 1e-12)
+      prevGram = Some(gm)
+      iter += 1
+    }
+    import spark.implicits._
+    ids.indices.map(v => (ids(v), x(v).drop(1)))
+      .toDF("id", "pos")
   }
 }

@@ -179,6 +179,25 @@ class Round3Spec extends SparkSuite {
     }
   }
 
+  // --- spectral local/distributed parity -------------------------------------
+
+  test("spectral init: driver-local fast path matches the distributed loop") {
+    val e = graft.generators.Generators.ba(spark, 150, 2, 3)
+    val local = graft.embed.SpectralInit.run(spark, e, d = 2, maxIter = 25)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val dist = graft.embed.SpectralInit.run(spark, e, d = 2, maxIter = 25,
+      localCap = 0) // force the distributed loop
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(local.keySet == dist.keySet)
+    // identical algorithm, init hashes, and arithmetic -> agreement to
+    // float-merge jitter (the distributed sums are order-arbitrary)
+    local.foreach { case (id, lp) =>
+      lp.zip(dist(id)).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-6, s"v$id: $a vs $b")
+      }
+    }
+  }
+
   // --- embed drift fixture ---------------------------------------------------
 
   test("embedding radii match the committed fixture (drift catch)") {
