@@ -51,12 +51,18 @@ object EventStreams {
       .outputMode(OutputMode.Append()) // watermark allows append finalization
       .start()
 
-  /** Open-session state for one user: `sess` is the per-user session
-    * ordinal (matching the batch q_events_sessions numbering), the rest
-    * the running aggregate of the currently-open session.
+  /** Per-user sessionization state. `open = true`: `sess` is the
+    * ordinal of the currently-open session (matching the batch
+    * q_events_sessions numbering) and the rest its running aggregate.
+    * `open = false`: a TOMBSTONE left behind after an event-time
+    * timeout flushed the open session — it carries only the last
+    * emitted ordinal so a returning user's next session continues the
+    * numbering instead of restarting at 0 (duplicate (user_id, sess)
+    * keys otherwise). Tombstones are one tiny record per ever-seen
+    * user, the same |users| bound the batch twin's groupBy pays.
     */
   case class SessState(sess: Long, startUs: Long, lastUs: Long,
-                       n: Long, sum: Double)
+                       n: Long, sum: Double, open: Boolean)
 
   /** One closed session — same columns/units as the batch
     * q_events_sessions twin.
@@ -69,13 +75,17 @@ object EventStreams {
     * `flatMapGroupsWithState` keyed by user holds the one open session
     * per user, closes it when a gap > `gapMinutes` arrives, and uses an
     * EVENT-TIME TIMEOUT to flush sessions whose gap has provably passed
-    * (watermark > last event + gap) — so state is bounded by |active
-    * users| and every session is eventually emitted exactly once, even
-    * for users that simply stop sending.
+    * (watermark > last event + gap) — so every session is eventually
+    * emitted exactly once, even for users that simply stop sending,
+    * and a flushed user leaves a tombstone carrying the last ordinal
+    * so their next session continues the per-user numbering.
     *
     * Scale shape: state is one small fixed-size record per user key
-    * (hash-distributed by the streaming state store); each micro-batch
-    * touches only the users present in it plus timed-out keys.
+    * (hash-distributed by the streaming state store) — open sessions
+    * for active users plus ordinal tombstones for idle ones, i.e.
+    * bounded by |ever-seen users|, the same bound the batch twin's
+    * groupBy(user) pays; each micro-batch touches only the users
+    * present in it plus timed-out keys.
     */
   def sessionize(spark: SparkSession, events: DataFrame,
                  gapMinutes: Int = 30,
@@ -95,9 +105,13 @@ object EventStreams {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user, it, state: GroupState[SessState]) =>
           if (state.hasTimedOut) {
-            // watermark passed lastUs + gap: the open session is final
-            val out = state.getOption.map(s => closed(user, s)).toSeq
-            state.remove()
+            // watermark passed lastUs + gap: the open session is final.
+            // Replace it with a tombstone (not remove) so the ordinal
+            // survives the flush; no timeout is set on the tombstone.
+            val out = state.getOption.filter(_.open).map { s =>
+              state.update(s.copy(n = 0, sum = 0.0, open = false))
+              closed(user, s)
+            }.toSeq
             out.iterator
           } else {
             // fold this batch's events (in event-time order) into the
@@ -109,20 +123,27 @@ object EventStreams {
             val out = Seq.newBuilder[SessionRow]
             evs.foreach { case (us, _, v) =>
               cur match {
-                case Some(s) if us - s.lastUs <= gapUs =>
-                  cur = Some(s.copy(lastUs = math.max(s.lastUs, us),
+                case Some(s) if s.open && us - s.lastUs <= gapUs =>
+                  // a late-but-within-watermark event may precede the
+                  // open session's first event: keep min as the start,
+                  // matching the batch twin's min(us)
+                  cur = Some(s.copy(startUs = math.min(s.startUs, us),
+                    lastUs = math.max(s.lastUs, us),
                     n = s.n + 1, sum = s.sum + v))
                 case Some(s) =>
-                  out += closed(user, s)
-                  cur = Some(SessState(s.sess + 1, us, us, 1, v))
+                  // open session closed by this gap, or a tombstone:
+                  // either way the next ordinal is s.sess + 1
+                  if (s.open) out += closed(user, s)
+                  cur = Some(SessState(s.sess + 1, us, us, 1, v, open = true))
                 case None =>
-                  cur = Some(SessState(0, us, us, 1, v))
+                  cur = Some(SessState(0, us, us, 1, v, open = true))
               }
             }
             cur.foreach { s =>
               state.update(s)
               // flush when the watermark proves no event can extend it
-              state.setTimeoutTimestamp(s.lastUs / 1000L + gapUs / 1000L + 1L)
+              if (s.open)
+                state.setTimeoutTimestamp(s.lastUs / 1000L + gapUs / 1000L + 1L)
             }
             out.result().iterator
           }

@@ -83,8 +83,10 @@ class ExtrasSpec extends SparkSuite {
         (2L, 10L, ts(5000), 1.5))
       q.processAllAvailable()
       // batch 2: user 1's event 1840s after their last -> gap closes s0
-      // ACROSS the micro-batch boundary (state carried)
-      ms.addData((1L, 3L, ts(2900), 0.5))
+      // ACROSS the micro-batch boundary (state carried); user 2 sends a
+      // LATE event (ts 4990 < watermark-safe 5000) that merges into the
+      // open session and must lower its session_start_us to min(us)
+      ms.addData((1L, 3L, ts(2900), 0.5), (2L, 11L, ts(4990), 0.5))
       q.processAllAvailable()
       // two sentinel batches far in the future: the first advances the
       // watermark, the second triggers the batch in which event-time
@@ -92,6 +94,14 @@ class ExtrasSpec extends SparkSuite {
       ms.addData((9999L, 99L, ts(900000), 0.0))
       q.processAllAvailable()
       ms.addData((9999L, 100L, ts(1800000), 0.0))
+      q.processAllAvailable()
+      // user 1 RETURNS after their open session was flushed by timeout:
+      // the tombstone must carry the ordinal forward (sess=2, not 0)
+      ms.addData((1L, 4L, ts(1800100), 4.0))
+      q.processAllAvailable()
+      ms.addData((9999L, 101L, ts(3600000), 0.0))
+      q.processAllAvailable()
+      ms.addData((9999L, 102L, ts(7200000), 0.0))
       q.processAllAvailable()
     } finally q.stop()
     val got = spark.table("sess_stream")
@@ -102,7 +112,8 @@ class ExtrasSpec extends SparkSuite {
     val want = Set(
       (1L, 0L, 1000000000L, 2L, 3000000L),  // closed by the in-stream gap
       (1L, 1L, 2900000000L, 1L, 500000L),   // flushed by timeout
-      (2L, 0L, 5000000000L, 1L, 1500000L))  // flushed by timeout
+      (1L, 2L, 1800100000000L, 1L, 4000000L), // ordinal survives the flush
+      (2L, 0L, 4990000000L, 2L, 2000000L))  // late event lowered the start
     assert(got == want, s"got $got")
   }
 
