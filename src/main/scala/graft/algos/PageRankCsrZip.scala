@@ -18,13 +18,20 @@ import graft.graph.CsrBlocks
   * no shuffle, no join). Each superstep:
   *
   *   1. zip(blocks, x): every partition PUSHES x(u)/deg(u) along its
-  *      edges into P per-target-partition dense partial-sum arrays —
+  *      edges into per-target-partition dense partial-sum arrays —
   *      pure primitive-array arithmetic, edge targets pre-resolved at
-  *      build time to (targetPartition, targetLocalIndex) so the inner
-  *      loop is two array reads + one add;
+  *      build time to (targetPartition, targetLocalIndex) AND grouped
+  *      by target partition (counting sort, build time), so the
+  *      superstep streams ONE accumulator at a time: allocate the
+  *      array for target t, fill it from t's contiguous edge run, hand
+  *      it to the shuffle writer, drop it. Per-task LIVE memory is
+  *      therefore O(V/P) — one local contrib array plus one target
+  *      accumulator (~2·(V/P)·8 bytes ≈ 1.6 MB at V=10^9 / P=10^4) —
+  *      NOT O(V): no task ever holds all P partials at once;
   *   2. reduceByKey on the target partition id merges the partials
   *      executor-side (elementwise array add) — the ONLY shuffle, at
-  *      most P x V doubles (<= E doubles once avg degree >= P);
+  *      most P x V doubles (<= E doubles once avg degree >= P), and
+  *      only for (src-part, tgt-part) pairs an edge actually crosses;
   *   3. mapValues applies base + alpha * sum in place.
   *
   * The driver never touches per-vertex data: convergence (tol > 0) is a
@@ -47,9 +54,15 @@ object PageRankCsrZip {
   case class Result(ranks: DataFrame, iterations: Int, err: Double,
                     edgesPerSecPerSuperstep: Double)
 
-  /** Per-partition CSR with pre-resolved push targets. */
+  /** Per-partition CSR with pre-resolved push targets, edges GROUPED BY
+    * TARGET PARTITION: run r covers edge slots runPtr(r)..runPtr(r+1)
+    * (runPtr has length P+1; empty runs are zero-length), and edge slot
+    * j pushes from local source srcLocal(j) to local index tgtLocal(j)
+    * of target partition r. rowPtr survives only to supply out-degrees.
+    */
   case class ZipBlock(vertexIds: Array[Long], rowPtr: Array[Int],
-                      tgtPart: Array[Int], tgtLocal: Array[Int])
+                      runPtr: Array[Int], srcLocal: Array[Int],
+                      tgtLocal: Array[Int])
 
   /** Built, cached superstep index — build once (`buildIndex`), iterate
     * many times (`run(index, ...)`); `release()` when done.
@@ -95,10 +108,34 @@ object PageRankCsrZip {
         if (!bi.hasNext) Iterator.empty
         else {
           val (pid, b) = bi.next()
-          val tp = new Array[Int](b.colIdx.length)
-          val tl = new Array[Int](b.colIdx.length)
+          val m = b.colIdx.length
+          val tp = new Array[Int](m)
+          val tl = new Array[Int](m)
           ri.foreach { case (_, (j, tPid, tLoc)) => tp(j) = tPid; tl(j) = tLoc }
-          Iterator.single((pid, ZipBlock(b.vertexIds, b.rowPtr, tp, tl)))
+          // local source index of each CSR edge slot
+          val sl = new Array[Int](m)
+          var i = 0
+          while (i < b.vertexIds.length) {
+            var j = b.rowPtr(i)
+            while (j < b.rowPtr(i + 1)) { sl(j) = i; j += 1 }
+            i += 1
+          }
+          // counting sort by target partition: one-time O(m + P) build
+          // cost that buys the superstep its O(V/P) live-memory bound
+          val runPtr = new Array[Int](p + 1)
+          var j = 0
+          while (j < m) { runPtr(tp(j) + 1) += 1; j += 1 }
+          var t = 0
+          while (t < p) { runPtr(t + 1) += runPtr(t); t += 1 }
+          val pos = runPtr.clone()
+          val sl2 = new Array[Int](m)
+          val tl2 = new Array[Int](m)
+          j = 0
+          while (j < m) {
+            val k = pos(tp(j)); sl2(k) = sl(j); tl2(k) = tl(j)
+            pos(tp(j)) += 1; j += 1
+          }
+          Iterator.single((pid, ZipBlock(b.vertexIds, b.rowPtr, runPtr, sl2, tl2)))
         }
     }.persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -108,7 +145,7 @@ object PageRankCsrZip {
     val sizes = new Array[Int](p)
     sizeRows.foreach { case (pid, s) => sizes(pid) = s }
     val n = sizes.map(_.toLong).sum
-    val m2 = zblocks.map(_._2.tgtPart.length.toLong).reduce(_ + _)
+    val m2 = zblocks.map(_._2.srcLocal.length.toLong).reduce(_ + _)
     csr.unpersist(false) // zblocks supersede the raw blocks
     new ZipIndex(part, zblocks, sizes, n, m2)
   }
@@ -145,19 +182,37 @@ object PageRankCsrZip {
             val (_, b) = bi.next()
             val xv = xi.next()._2
             val sz = bSizes.value
-            val out = Array.tabulate(sz.length)(t => new Array[Double](sz(t)))
+            // per-source contribution x(u)/deg(u) — O(V/P) doubles
+            val contrib = new Array[Double](b.vertexIds.length)
             var i = 0
-            while (i < b.vertexIds.length) {
-              val st = b.rowPtr(i); val en = b.rowPtr(i + 1)
-              if (en > st) {
-                val c = xv(i) / (en - st)
-                var j = st
-                while (j < en) { out(b.tgtPart(j))(b.tgtLocal(j)) += c; j += 1 }
-              }
+            while (i < contrib.length) {
+              val d = b.rowPtr(i + 1) - b.rowPtr(i)
+              if (d > 0) contrib(i) = xv(i) / d
               i += 1
             }
-            (0 until sz.length).iterator
-              .filter(t => sz(t) > 0).map(t => (t, out(t)))
+            // stream ONE target accumulator at a time: the shuffle
+            // writer serializes each (t, acc) before next() allocates
+            // the following one, so live memory stays O(max block),
+            // never O(V). Only targets an edge actually reaches emit.
+            new Iterator[(Int, Array[Double])] {
+              private def skipEmpty(from: Int): Int = {
+                var k = from
+                while (k < sz.length && b.runPtr(k + 1) == b.runPtr(k)) k += 1
+                k
+              }
+              private var t = skipEmpty(0)
+              def hasNext: Boolean = t < sz.length
+              def next(): (Int, Array[Double]) = {
+                val acc = new Array[Double](sz(t))
+                var j = b.runPtr(t); val en = b.runPtr(t + 1)
+                while (j < en) {
+                  acc(b.tgtLocal(j)) += contrib(b.srcLocal(j)); j += 1
+                }
+                val res = (t, acc)
+                t = skipEmpty(t + 1)
+                res
+              }
+            }
           }
       }
       msgs
