@@ -40,6 +40,14 @@ object SpectralInit {
     */
   val LocalCap = 100000
 
+  /** The local path also collects the EDGE list, so it is additionally
+    * gated on edge count: a dense graph under the vertex cap (100k
+    * vertices with average degree in the thousands — a near-clique
+    * community subgraph) would otherwise pull hundreds of millions of
+    * rows onto the driver. Above either cap the distributed loop runs.
+    */
+  val LocalEdgeCap = 5000000L
+
   /** Returns (id, pos: array<double>[d]).
     *
     * `gramTol` is the relative Gram-matrix-delta stop: 1e-9 drives the
@@ -50,14 +58,16 @@ object SpectralInit {
     */
   def run(spark: SparkSession, edges: DataFrame, d: Int,
           maxIter: Int = 60, seed: Long = 42,
-          gramTol: Double = 1e-9, localCap: Int = LocalCap): DataFrame = {
+          gramTol: Double = 1e-9, localCap: Int = LocalCap,
+          localEdgeCap: Long = LocalEdgeCap): DataFrame = {
     val k = d + 1
     val nbrs = Edges.neighbors(edges)
     val deg = Edges.degrees(edges)
       .select(col("id"), col("degree").cast("double").as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val vCount = deg.count()
-    if (vCount > 0 && vCount <= localCap) {
+    val eCount = edges.count()
+    if (vCount > 0 && vCount <= localCap && eCount <= localEdgeCap) {
       deg.unpersist(false)
       return runLocal(spark, edges, d, maxIter, seed, gramTol)
     }
@@ -70,7 +80,6 @@ object SpectralInit {
     // scheduling the dominant cost. At web scale the cap is the session
     // width — same plan, full parallelism.
     val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val eCount = edges.count()
     val pEff = math.max(1, math.min(p, (2 * eCount / 250000L).toInt + 1))
     val adj = nbrs.join(deg.select(col("id").as("nbr"), col("deg").as("ndeg")), "nbr")
       .join(deg, "id")
@@ -99,6 +108,11 @@ object SpectralInit {
     // with AQE off the loop's exchanges fall back to the session
     // shuffle width — size them to the data too (AQE's coalescing is
     // exactly what pEff precomputes here)
+    // NOTE: these are session-global mutations for the loop's duration
+    // (restored in the finally): this method assumes the single-driver-
+    // thread usage every graft entry point follows. A host app running
+    // concurrent queries on the same SparkSession should hand this loop
+    // a dedicated `spark.newSession()` so the overrides are scoped.
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
     val sppWas = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
