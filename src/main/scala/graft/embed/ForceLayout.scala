@@ -43,7 +43,14 @@ object ForceLayout {
       nNeighbors: Int = 10,
       sampleSize: Int = 256,
       checkpoint: Option[CheckpointManager] = None,
-      checkpointInterval: Int = 5)
+      checkpointInterval: Int = 5,
+      // caller-pluggable per-iteration progress callback — the engine's
+      // analogue of the reference's GraphEmbedder(logger=...) ctor hook
+      // (/root/reference/graphem/embedder.py ctor;
+      // tests/test_embedder.py:178-192). Invoked AFTER each superstep's
+      // state is materialized with (completed iteration index, metrics);
+      // deliberately free of extra Spark actions.
+      progress: Option[(Int, Map[String, Double]) => Unit] = None)
 
   private def norm2(v: Column): Column =
     sqrt(aggregate(v, lit(0.0), (s, x) => s + x * x))
@@ -60,6 +67,18 @@ object ForceLayout {
     val edgeCount = eidEdges.count()
     val sampleSize = math.min(cfg.sampleSize, edgeCount).toInt
 
+    // The sampled-edge IDENTITY is iteration-independent (quirk #1: the
+    // reference samples with PRNGKey(0) every iteration, so the subset
+    // never changes) — select the sample_size smallest xxhash64(eid)
+    // ONCE before the loop instead of re-running a global top-k over all
+    // E midpoints every superstep. Per iteration only the sample's
+    // positions are refreshed: two broadcast joins that stream the
+    // V-row position state, never the E-row edge table.
+    val sampledEdges = graft.core.Lineage.truncate(eidEdges
+      .orderBy(xxhash64(col("eid")), col("eid")).limit(sampleSize)
+      .select(col("eid").as("i_eid"), col("src").as("i_src"),
+        col("dst").as("i_dst")))
+
     // Resume from the latest committed layout snapshot, if any: the
     // layout is fully deterministic (fixed hash-ordered sample, quirk
     // #1), so a run killed at iteration k and resumed here produces
@@ -70,6 +89,7 @@ object ForceLayout {
     }
     var pos = graft.core.Lineage.truncate(startPos)
     var iter = startIter
+    val runT0 = System.nanoTime()
     while (iter < iterations) {
       // gather endpoint positions
       val ep = eidEdges
@@ -94,11 +114,16 @@ object ForceLayout {
         col("p1"), col("p2"),
         zip_with(col("p1"), col("p2"), (a, b) => (a + b) * 0.5).as("mid"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val sampled = mids
-        .orderBy(xxhash64(col("eid")), col("eid")).limit(sampleSize)
-        .select(col("eid").as("i_eid"), col("src").as("i_src"),
-          col("dst").as("i_dst"), col("p1").as("ip1"), col("p2").as("ip2"),
-          col("mid").as("imid"))
+      // refresh the fixed sample's positions: broadcast the (tiny)
+      // sampled edge set against the V-row position state — same
+      // (p1+p2)*0.5 midpoint arithmetic as `mids`, bit-identical
+      val withP1 = pos.select(col("id").as("i_src"), col("pos").as("ip1"))
+        .join(broadcast(sampledEdges), "i_src")
+      val sampled = pos.select(col("id").as("i_dst"), col("pos").as("ip2"))
+        .join(broadcast(withP1), "i_dst")
+        .select(col("i_eid"), col("i_src"), col("i_dst"),
+          col("ip1"), col("ip2"),
+          zip_with(col("ip1"), col("ip2"), (a, b) => (a + b) * 0.5).as("imid"))
 
       // kNN: broadcast sampled against all midpoints; per-query bounded
       // top-(k+1) via the BoundedTopKAgg TypedImperativeAggregate. The
@@ -213,8 +238,14 @@ object ForceLayout {
       graft.core.Lineage.release(inter)
       graft.core.Lineage.release(pos) // next is materialized; old state is dead
       pos = next
+      cfg.progress.foreach(_(iter, Map(
+        "iterations_total" -> iterations.toDouble,
+        "edges" -> edgeCount.toDouble,
+        "sample_size" -> sampleSize.toDouble,
+        "elapsed_secs" -> (System.nanoTime() - runT0) / 1e9)))
       iter += 1
     }
+    graft.core.Lineage.release(sampledEdges)
     eidEdges.unpersist(false)
     pos
   }
