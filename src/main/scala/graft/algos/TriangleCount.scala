@@ -57,14 +57,21 @@ object TriangleCount {
   def globalCount(spark: SparkSession, edges: DataFrame): DataFrame = {
     import spark.implicits._
     val o = orient(spark, edges)
+    // adjacency arrays SORTED at build so the per-edge intersection is a
+    // zero-allocation two-pointer merge (SortedIntersectCount codegen
+    // expression) instead of array_intersect's per-row hash set. The
+    // groupBy leaves adj hash-partitioned on the vertex id, so BOTH
+    // attach joins below can consume that one exchange (Catalyst reuses
+    // it; under AQE a small adj broadcasts and drops the shuffles
+    // entirely).
     val adj = o.groupBy(col("src").as("id"))
-      .agg(collect_list(col("dst")).as("nbrs"))
+      .agg(array_sort(collect_list(col("dst"))).as("nbrs"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val joined = o.select(col("src"), col("dst"))
       .join(adj.select(col("id").as("src"), col("nbrs").as("ns")), "src")
       .join(adj.select(col("id").as("dst"), col("nbrs").as("nd")), "dst")
     val n = joined
-      .select(size(array_intersect(col("ns"), col("nd"))).cast("long").as("t"))
+      .select(graft.functions.SortedIntersectCount(col("ns"), col("nd")).as("t"))
       .agg(coalesce(sum(col("t")), lit(0L))).head().getLong(0)
     adj.unpersist(false)
     Seq(n).toDF("triangles")
