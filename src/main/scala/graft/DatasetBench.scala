@@ -27,7 +27,8 @@ object DatasetBench {
   val OracleCutoff = 5000L // run_benchmarks.py:312-314
 
   case class DatasetRow(dataset: String, vertices: Long, edgesN: Long,
-                        layoutSecs: Double, corrs: Map[String, Double])
+                        layoutSecs: Double, corrs: Map[String, Double],
+                        pValues: Map[String, Double])
 
   /** One dataset end-to-end: SNAP scan -> embed -> correlation matrix. */
   def runDataset(spark: SparkSession, name: String, path: String,
@@ -49,7 +50,8 @@ object DatasetBench {
     val rep = CorrelationBench.run(spark, e, d = 3,
       layoutIters = iterations, layoutCfg = cfg, extraCentralities = extras)
     e.unpersist(false)
-    DatasetRow(name, rep.n, rep.m, rep.layoutSecs, rep.correlations)
+    DatasetRow(name, rep.n, rep.m, rep.layoutSecs, rep.correlations,
+      rep.pValues)
   }
 
   def main(args: Array[String]): Unit = {
@@ -73,15 +75,21 @@ object DatasetBench {
       (r.dataset, r.vertices, r.edgesN, r.layoutSecs,
         r.corrs.get("degree"), r.corrs.get("pagerank"),
         r.corrs.get("eigenvector"), r.corrs.get("betweenness"),
-        r.corrs.get("closeness"), r.corrs.get("load"))
+        r.corrs.get("closeness"), r.corrs.get("load"),
+        r.pValues.get("degree"), r.pValues.get("pagerank"),
+        r.pValues.get("eigenvector"), r.pValues.get("betweenness"),
+        r.pValues.get("closeness"), r.pValues.get("load"))
     }.toDF(Seq("dataset", "vertices", "edges", "layout_secs") ++
-      measures.map(m => s"corr_$m"): _*)
+      measures.map(m => s"corr_$m") ++ measures.map(m => s"p_$m"): _*)
     graft.core.ResultsSink.save(df, outDir, "dataset_benchmarks")
     val json = rows.map { r =>
       val cs = r.corrs.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      val ps = r.pValues.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }.mkString(",")
       s"""{"dataset":"${r.dataset}","n":${r.vertices},"m":${r.edgesN},""" +
-        s""""layout_secs":${r.layoutSecs},"correlations":{$cs}}"""
+        s""""layout_secs":${r.layoutSecs},"correlations":{$cs},""" +
+        s""""p_values":{$ps}}"""
     }.mkString("[", ",", "]")
     println(s"""{"metric":"dataset_bench","iterations":$iterations,"results":$json}""")
     spark.stop()

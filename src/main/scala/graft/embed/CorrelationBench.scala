@@ -22,7 +22,8 @@ object CorrelationBench {
   case class Report(
       n: Long, m: Long,
       layoutSecs: Double,
-      correlations: Map[String, Double])
+      correlations: Map[String, Double],
+      pValues: Map[String, Double])
 
   def run(spark: SparkSession, edges: DataFrame,
           d: Int = 3, layoutIters: Int = 20,
@@ -56,7 +57,28 @@ object CorrelationBench {
       extraCentralities.keys
     val corrs = measures.map(mname =>
       mname -> Correlation.spearman(joined, "radius", mname)).toMap
-    Report(n, m, layoutSecs, corrs)
+    // scipy-parity (rho, p) per measure — benchmark.py:173-194
+    val ps = corrs.map { case (mname, rho) =>
+      mname -> graft.core.Stats.spearmanPValue(rho, n)
+    }
+    Report(n, m, layoutSecs, corrs, ps)
+  }
+
+  /** Bootstrap two-sided p-value for a Spearman correlation: the
+    * percentile-bootstrap sign test (2x the smaller tail fraction of
+    * resampled rho around 0) — the resampling companion of the
+    * t-approximation p in `Report.pValues`, same seeded resamples as
+    * `bootstrapCI`.
+    */
+  def bootstrapP(df: DataFrame, a: String, b: String,
+                 replicates: Int = 200, seed: Long = 42): Double = {
+    val reps = bootstrapReplicates(df, a, b, replicates, seed)
+    if (reps.isEmpty) Double.NaN
+    else {
+      val le = reps.count(_ <= 0.0).toDouble / reps.length
+      val ge = reps.count(_ >= 0.0).toDouble / reps.length
+      math.min(1.0, 2.0 * math.min(le, ge))
+    }
   }
 
   /** Bootstrap confidence interval for a Spearman correlation —
@@ -67,37 +89,49 @@ object CorrelationBench {
   def bootstrapCI(df: DataFrame, a: String, b: String,
                   replicates: Int = 200, lo: Double = 2.5, hi: Double = 97.5,
                   seed: Long = 42): (Double, Double, Double) = {
-    val rows = df.select(col(a).cast("double"), col(b).cast("double"))
-      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
-    val nLocal = rows.length
-    val rnd = new scala.util.Random(seed)
-    def spearmanLocal(xs: Array[(Double, Double)]): Double = {
-      def avgRank(v: Array[Double]): Array[Double] = {
-        val groups = v.zipWithIndex.groupBy(_._1)
-        val ranks = new Array[Double](v.length)
-        var c = 0
-        groups.toSeq.sortBy(_._1).foreach { case (_, idxs) =>
-          val r = c + (idxs.length + 1) / 2.0
-          idxs.foreach { case (_, i) => ranks(i) = r }
-          c += idxs.length
-        }
-        ranks
-      }
-      val ra = avgRank(xs.map(_._1)); val rb = avgRank(xs.map(_._2))
-      val ma = ra.sum / ra.length; val mb = rb.sum / rb.length
-      val cov = ra.zip(rb).map { case (x, y) => (x - ma) * (y - mb) }.sum
-      val sa = math.sqrt(ra.map(x => (x - ma) * (x - ma)).sum)
-      val sb = math.sqrt(rb.map(y => (y - mb) * (y - mb)).sum)
-      if (sa == 0 || sb == 0) Double.NaN else cov / (sa * sb)
-    }
+    val rows = collectPairs(df, a, b)
     val point = spearmanLocal(rows)
-    val reps = (0 until replicates).map { _ =>
-      spearmanLocal(Array.fill(nLocal)(rows(rnd.nextInt(nLocal))))
-    }.filterNot(_.isNaN).sorted
+    val reps = replicatesOf(rows, replicates, seed).sorted
     def pct(p: Double): Double =
       if (reps.isEmpty) Double.NaN
       else reps(math.min(reps.length - 1,
         math.max(0, math.round(p / 100.0 * (reps.length - 1)).toInt)))
     (point, pct(lo), pct(hi))
+  }
+
+  private def collectPairs(df: DataFrame, a: String, b: String): Array[(Double, Double)] =
+    df.select(col(a).cast("double"), col(b).cast("double"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+
+  private def replicatesOf(rows: Array[(Double, Double)], replicates: Int,
+                           seed: Long): Seq[Double] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until replicates).map { _ =>
+      spearmanLocal(Array.fill(rows.length)(rows(rnd.nextInt(rows.length))))
+    }.filterNot(_.isNaN)
+  }
+
+  private def bootstrapReplicates(df: DataFrame, a: String, b: String,
+                                  replicates: Int, seed: Long): Seq[Double] =
+    replicatesOf(collectPairs(df, a, b), replicates, seed)
+
+  private def spearmanLocal(xs: Array[(Double, Double)]): Double = {
+    def avgRank(v: Array[Double]): Array[Double] = {
+      val groups = v.zipWithIndex.groupBy(_._1)
+      val ranks = new Array[Double](v.length)
+      var c = 0
+      groups.toSeq.sortBy(_._1).foreach { case (_, idxs) =>
+        val r = c + (idxs.length + 1) / 2.0
+        idxs.foreach { case (_, i) => ranks(i) = r }
+        c += idxs.length
+      }
+      ranks
+    }
+    val ra = avgRank(xs.map(_._1)); val rb = avgRank(xs.map(_._2))
+    val ma = ra.sum / ra.length; val mb = rb.sum / rb.length
+    val cov = ra.zip(rb).map { case (x, y) => (x - ma) * (y - mb) }.sum
+    val sa = math.sqrt(ra.map(x => (x - ma) * (x - ma)).sum)
+    val sb = math.sqrt(rb.map(y => (y - mb) * (y - mb)).sum)
+    if (sa == 0 || sb == 0) Double.NaN else cov / (sa * sb)
   }
 }
