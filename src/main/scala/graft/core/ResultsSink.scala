@@ -17,7 +17,7 @@ object ResultsSink {
   val DefaultMaxRows = 10000
 
   def save(df: DataFrame, outDir: String, name: String,
-           formats: Seq[String] = Seq("csv", "markdown", "latex"),
+           formats: Seq[String] = Seq("csv", "markdown", "latex", "html"),
            maxRows: Int = DefaultMaxRows): Unit = {
     val dir = Paths.get(outDir, name)
     Files.createDirectories(dir)
@@ -58,6 +58,32 @@ object ResultsSink {
       }
       sb.append("\\hline\n\\end{tabular}\n\\end{table}\n")
       Files.writeString(dir.resolve(s"$name.tex"), sb.toString)
+    }
+    // HTML table — reference _save_html (run_benchmarks.py:774-815):
+    // styled standalone page, one <table> with header row
+    if (formats.contains("html")) {
+      def esc(s: String): String =
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      val title = name.split('_').map(_.capitalize).mkString(" ")
+      val sb = new StringBuilder
+      sb.append("<!DOCTYPE html>\n<html>\n<head>\n")
+      sb.append(s"<title>${esc(title)}</title>\n<style>\n")
+      sb.append("body { font-family: Arial, sans-serif; margin: 20px; line-height: 1.6; }\n")
+      sb.append("table { border-collapse: collapse; width: 100%; margin-top: 20px; margin-bottom: 20px; }\n")
+      sb.append("th, td { padding: 8px; text-align: left; border-bottom: 1px solid #ddd; }\n")
+      sb.append("th { background-color: #f2f2f2; }\n")
+      sb.append("tr:hover { background-color: #f5f5f5; }\n")
+      sb.append("</style>\n</head>\n<body>\n")
+      sb.append(s"<h1>${esc(title)}</h1>\n<table>\n<tr>")
+      cols.foreach(c => sb.append(s"<th>${esc(c)}</th>"))
+      sb.append("</tr>\n")
+      rows.foreach { r =>
+        sb.append("<tr>")
+        cols.indices.foreach(i => sb.append(s"<td>${esc(fmt(r.get(i)))}</td>"))
+        sb.append("</tr>\n")
+      }
+      sb.append("</table>\n</body>\n</html>\n")
+      Files.writeString(dir.resolve(s"$name.html"), sb.toString)
     }
   }
 }

@@ -246,5 +246,16 @@ class Round2Spec extends SparkSuite {
     assert(tex.contains("\\begin{tabular}") && tex.contains("ba\\_mid"))
     val csvDir = new java.io.File(s"$dir/generator_benchmarks/generator_benchmarks.csv.d")
     assert(csvDir.listFiles().exists(_.getName.endsWith(".csv")))
+    // HTML (reference run_benchmarks.py:774-815): golden structure —
+    // styled page, title-cased <h1>, header row, escaped cells
+    val html = Files.readString(
+      java.nio.file.Paths.get(dir, "generator_benchmarks", "generator_benchmarks.html"))
+    assert(html.startsWith("<!DOCTYPE html>"))
+    assert(html.contains("<title>Generator Benchmarks</title>"))
+    assert(html.contains("<h1>Generator Benchmarks</h1>"))
+    assert(html.contains("<th>graph_type</th><th>vertices</th>"))
+    assert(html.contains("<td>er_small</td>"))
+    assert(html.contains("<td>0.8700</td>"))
+    assert(html.contains("border-collapse: collapse"))
   }
 }
