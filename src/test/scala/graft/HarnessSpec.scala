@@ -22,7 +22,12 @@ class HarnessSpec extends SparkSuite {
       "betweenness", "closeness", "load").foreach { m =>
       val rho = row.corrs(m)
       assert(rho > 0.0, s"rho(radius,$m)=$rho")
+      val p = row.pValues(m)
+      assert(p >= 0.0 && p <= 1.0, s"p(radius,$m)=$p")
     }
+    // at n=4039 the strong degree correlation is overwhelmingly
+    // significant under the scipy t-approximation
+    assert(row.pValues("degree") < 1e-6, s"p=${row.pValues("degree")}")
     // and the sink writes the three table formats
     import spark.implicits._
     val dir = Files.createTempDirectory("dsbench").toString
