@@ -60,10 +60,18 @@ object ScaleUp {
       .withColumn("doc_id", col("doc_id") + lit(c * DocOff))
       .withColumn("text",
         if (c == 0) col("text") else concat(col("text"), lit(s" copy$c"))))
+    // copies get a deterministic per-(vector, copy, dim) SIGN SCRAMBLE,
+    // not an epsilon shift: an epsilon-shifted copy is a near-duplicate
+    // of its original (cosine ~ 1), which would plant ~copies^2/2 true
+    // near-dup pairs per base vector and quadratically inflate the
+    // near-dup WORKLOAD itself rather than scaling the corpus
     write("embeddings", (df, c) => df
       .withColumn("vec_id", col("vec_id") + lit(c * VecOff))
       .withColumn("embedding",
-        transform(col("embedding"), x => x + lit(c.toFloat * 1e-3f))))
+        if (c == 0) col("embedding")
+        else transform(col("embedding"), (x, i) =>
+          x * when(pmod(xxhash64(col("vec_id"), lit(c), i), lit(2)) === 0,
+            lit(1.0f)).otherwise(lit(-1.0f)))))
     write("events", (df, c) => df
       .withColumn("event_id", col("event_id") + lit(c * OrderOff))
       .withColumn("user_id", col("user_id") + lit(c * UserOff)))

@@ -694,19 +694,21 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, cosine_micro, rank
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
-    // portable SRP-LSH mirror: weight(seed,p,j) = parity of
-    // ((42 + t*1000 + p*1009 + j) * 2654435761) mod 1e9+7; projection
-    // folds left-to-right (list_reduce ≡ Spark aggregate), so bucket
-    // sign bits agree bit-for-bit. 12 planes per table; the query side
-    // multiprobes its own bucket plus the 12 order-1 perturbations
-    // (one sign bit flipped), mirroring Ann.lshTopK defaults.
+    // portable SRP-LSH mirror: weight(seed,p,j) = parity of the first
+    // hex digit of md5(42 + t*1000 + p*1009 + j) — identical digests in
+    // both engines (see SrpBucketPortable scaladoc for why the old
+    // modular family was replaced: lattice-correlated hyperplanes);
+    // projection folds left-to-right (list_reduce ≡ the native loop),
+    // so bucket sign bits agree bit-for-bit. 12 planes per table; the
+    // query side multiprobes its own bucket plus the 12 order-1
+    // perturbations (one sign bit flipped), mirroring Ann.lshTopK.
     "q_ann_lsh" -> {
       def bucketedSql(src: String, idAlias: String, vec: String): String =
         s"""SELECT $idAlias, $vec, t,
            |  CAST(list_sum(list_transform(range(0, 12), p ->
            |    CASE WHEN list_reduce(list_transform(range(0, len($vec)), j ->
-           |        CASE WHEN (((42 + t * 1000 + p * 1009 + j) * 2654435761)
-           |                   % 1000000007) % 2 = 1
+           |        CASE WHEN strpos('13579bdf', substr(md5(CAST(
+           |                     42 + t * 1000 + p * 1009 + j AS VARCHAR)), 1, 1)) > 0
            |             THEN $vec[j + 1] ELSE -$vec[j + 1] END),
            |        (a, b) -> a + b) > 0
            |      THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END))
@@ -750,8 +752,8 @@ object SparkEntry {
          |cb AS (SELECT id, t,
          |  CAST(list_sum(list_transform(range(0, 12), p ->
          |    CASE WHEN list_reduce(list_transform(range(0, len(v)), j ->
-         |        CASE WHEN (((42 + t * 1000 + p * 1009 + j) * 2654435761)
-         |                   % 1000000007) % 2 = 1
+         |        CASE WHEN strpos('13579bdf', substr(md5(CAST(
+         |                     42 + t * 1000 + p * 1009 + j AS VARCHAR)), 1, 1)) > 0
          |             THEN v[j + 1] ELSE -v[j + 1] END),
          |        (a, b) -> a + b) > 0
          |      THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END))

@@ -24,8 +24,13 @@ object Ann {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
 
+  /** Cosine similarity — native fused codegen loop (VecCosineExpr);
+    * accumulation order matches the aggregate() fold and DuckDB's
+    * list_dot_product bit-for-bit. The HOF formulation this replaces
+    * ran three interpreted folds per candidate pair (CodegenFallback).
+    */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    graft.functions.VecCosine(a, b)
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
@@ -89,12 +94,15 @@ object Ann {
   }
 
   /** DuckDB-mirrorable SRP bucket: the ±1 weight of (plane p, dim j) is
-    * the parity of ((seed + p*1009 + j) * 2654435761) mod 1e9+7 —
-    * plain BIGINT arithmetic both engines compute identically (xxhash64
-    * is Spark-only). Projection sums fold left-to-right, matching
-    * DuckDB's list_reduce, so the sign bits agree exactly. Backed by the
-    * native codegen SrpBucketPortableExpr (the HOF formulation ran
-    * planes x dim interpreted lambdas per row).
+    * the parity of the first hex digit of md5(seed + p*1009 + j) — both
+    * engines compute the identical digest (xxhash64 is Spark-only).
+    * Signs are data-independent and cached per (seed, planes, dim), so
+    * the per-row cost is the pure planes x dim multiply-add loop.
+    * Projection sums fold left-to-right, matching DuckDB's list_reduce,
+    * so the sign bits agree exactly. Backed by the native codegen
+    * SrpBucketPortableExpr; see its scaladoc for why the earlier
+    * modular-arithmetic weight family was replaced (lattice-correlated
+    * hyperplanes collapsed the bucket space).
     */
   def srpBucketPortable(vec: Column, planes: Int, seed: Column): Column =
     graft.functions.SrpBucketPortable(vec, seed, planes)

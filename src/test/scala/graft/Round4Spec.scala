@@ -119,6 +119,45 @@ class Round4Spec extends SparkSuite {
     assert(graft.core.Stats.spearmanPValue(1.0, 10) == 0.0)
   }
 
+  test("vec_cosine equals the HOF fold formulation bit-for-bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 300).map { i =>
+      (i, Array.fill(64)(rnd.nextGaussian()), Array.fill(64)(rnd.nextGaussian()))
+    }
+    val df = rows.toDF("i", "a", "b")
+    def hofCosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      def d(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (s, v) => s + v)
+      d(a, b) / (sqrt(d(a, a)) * sqrt(d(b, b)))
+    }
+    df.select(graft.functions.VecCosine(col("a"), col("b")).as("native"),
+        hofCosine(col("a"), col("b")).as("hof"))
+      .collect().foreach { r =>
+        assert(r.getDouble(0) == r.getDouble(1),
+          s"${r.getDouble(0)} != ${r.getDouble(1)}")
+      }
+  }
+
+  test("portable SRP hyperplanes are statistically independent (bucket spread)") {
+    import spark.implicits._
+    // the old modular family collapsed 2^12 buckets to a few hundred
+    // with 1900-member hot buckets on 2k gaussian vectors; the md5
+    // family must fill the bucket space near-uniformly
+    val rnd = new scala.util.Random(5)
+    val vecs = (0 until 2000).map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian())))
+      .toDF("vec_id", "v")
+    val buckets = vecs.select(
+        graft.functions.SrpBucketPortable(col("v"), col("vec_id") * 0 + 42, 12).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("distinct_buckets"), max(col("c")).as("hottest"))
+      .head()
+    assert(buckets.getLong(0) > 1200,
+      s"only ${buckets.getLong(0)} distinct buckets for 2000 vectors")
+    assert(buckets.getLong(1) <= 12,
+      s"hottest bucket has ${buckets.getLong(1)} members")
+  }
+
   test("spectral init: dense small-V graph routes to the distributed path") {
     // V under the vertex cap but E over the (test-shrunk) edge cap must
     // NOT take the driver-local collect path. The paths are
