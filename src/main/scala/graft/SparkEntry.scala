@@ -317,6 +317,15 @@ object SparkEntry {
       Ann.lshTopK(emb, emb.where(col("vec_id") < 10), 5, portableHash = true)
         .orderBy("query_id", "rank")
     }),
+    // IVF coarse-quantizer variant: training-free deterministic
+    // centroids (smallest md5(vec_id)), single-assignment inverted
+    // lists, nprobe probed lists per query — mirrored exactly in SQL
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Ann.ivfTopK(emb, emb.where(col("vec_id") < 10), 5,
+        nlist = 32, nprobe = 8)
+        .orderBy("query_id", "rank")
+    }),
     // embedding-cosine near-dup detection over a corpus with PLANTED
     // near-duplicates (every 10th vector re-added slightly perturbed
     // under vec_id + 1e6 — same pattern as the text dupCorpus);
@@ -693,6 +702,41 @@ object SparkEntry {
         |        ORDER BY cosine_micro DESC, neighbor_id) AS rank FROM scored)
         |SELECT query_id, neighbor_id, cosine_micro, rank
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // IVF mirror: same deterministic md5-ordered centroids, same
+    // single-assignment (cosine_micro DESC, cid ASC tie-break), same
+    // nprobe probed lists — bit-for-bit the Spark pipeline
+    "q_ann_ivf" -> {
+      val cm = (a: String, b: String) =>
+        s"""CAST(round(list_dot_product($a, $b)
+           |  / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))
+           |  * 1e6, 0) AS BIGINT)""".stripMargin
+      s"""WITH c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |      FROM embeddings WHERE vec_id < 10),
+         |cent AS (SELECT neighbor_id AS cid, cv AS centroid FROM c
+         |         ORDER BY md5(CAST(neighbor_id AS VARCHAR)), neighbor_id
+         |         LIMIT 32),
+         |cass AS (SELECT neighbor_id, cv, cid FROM (
+         |    SELECT c.neighbor_id, c.cv, cent.cid,
+         |      row_number() OVER (PARTITION BY c.neighbor_id
+         |        ORDER BY ${cm("cv", "centroid")} DESC, cent.cid ASC) AS rn
+         |    FROM c, cent) WHERE rn = 1),
+         |qprobe AS (SELECT query_id, qv, cid FROM (
+         |    SELECT q.query_id, q.qv, cent.cid,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${cm("qv", "centroid")} DESC, cent.cid ASC) AS rn
+         |    FROM q, cent) WHERE rn <= 8),
+         |scored AS (SELECT query_id, neighbor_id,
+         |    ${cm("qv", "cv")} AS cosine_micro
+         |  FROM cass JOIN qprobe USING (cid)
+         |  WHERE query_id <> neighbor_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cosine_micro DESC, neighbor_id) AS rank FROM scored)
+         |SELECT query_id, neighbor_id, cosine_micro, rank
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
 
     // portable SRP-LSH mirror: weight(seed,p,j) = parity of the first
     // hex digit of md5(42 + t*1000 + p*1009 + j) — identical digests in

@@ -37,6 +37,20 @@ case class BoundedTopKAgg(
 
   private def structType: StructType = child.dataType.asInstanceOf[StructType]
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      // the buffer reads getDouble(0)/getLong(1): enforce the contract
+      // at analysis time — a long first field would silently sort by
+      // reinterpreted bits
+      case s: StructType if s.size >= 2 &&
+        s.fields(0).dataType == org.apache.spark.sql.types.DoubleType &&
+        s.fields(1).dataType == org.apache.spark.sql.types.LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bounded_top_k needs struct<double, bigint, ...>, got $other")
+    }
+
   @transient private lazy val toUnsafe = UnsafeProjection.create(structType)
 
   override def createAggregationBuffer(): BoundedTopKAgg.Buf =

@@ -119,6 +119,31 @@ class Round4Spec extends SparkSuite {
     assert(graft.core.Stats.spearmanPValue(1.0, 10) == 0.0)
   }
 
+  test("IVF top-k: high recall on clustered vectors, bounded candidate scan") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val centers = Array.fill(30)(Array.fill(16)(rnd.nextGaussian()))
+    val vecs = (0 until 600).map { i =>
+      val c = centers(i % 30)
+      (i.toLong, c.map(v => (v + rnd.nextGaussian() * 0.15).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.where(col("vec_id") < 10)
+    val exact = graft.ann.Ann.bruteForceTopK(vecs, q, 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = graft.ann.Ann.ivfTopK(vecs, q, 5, nlist = 32, nprobe = 8)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    // clustered data: the query's cluster-mates share its probed lists
+    assert(recall >= 0.6, s"IVF recall@5 = $recall")
+    // determinism (the quantizer is training-free): identical reruns
+    val again = graft.ann.Ann.ivfTopK(vecs, q, 5, nlist = 32, nprobe = 8)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf == again)
+  }
+
   test("vec_cosine equals the HOF fold formulation bit-for-bit") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
