@@ -119,6 +119,37 @@ class Round4Spec extends SparkSuite {
     assert(graft.core.Stats.spearmanPValue(1.0, 10) == 0.0)
   }
 
+  test("embedding seed parameter: same seed reproduces, different seed diverges") {
+    // reference test_embedder.py:148-177 (seed reproducibility) and
+    // :87-105 (stability across repeated runs)
+    val e = graft.generators.Generators.ba(spark, 60, 3, 5)
+    def posOf(seed: Long) = graft.embed.SpectralInit
+      .run(spark, e, d = 2, seed = seed, maxIter = 20)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val a = posOf(123L); val b = posOf(123L); val c = posOf(7L)
+    assert(a.keySet == b.keySet)
+    a.foreach { case (id, p) =>
+      p.zip(b(id)).foreach { case (x, y) =>
+        assert(math.abs(x - y) < 1e-9, s"seed-123 rerun drifted at v$id") }
+    }
+    val maxDelta = a.map { case (id, p) =>
+      p.zip(c(id)).map { case (x, y) => math.abs(x - y) }.max }.max
+    assert(maxDelta > 1e-6, "different seeds produced identical embeddings")
+
+    // layout: two identical runs from the same init are bit-stable and
+    // bounded (z-score normalization keeps coordinates O(1))
+    val init = graft.embed.SpectralInit.run(spark, e, d = 2, maxIter = 20)
+    def radiiOf() = graft.embed.ForceLayout.radii(
+      graft.embed.ForceLayout.run(spark, e, init, 2,
+        graft.embed.ForceLayout.Config(d = 2, sampleSize = 64)))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val r1 = radiiOf(); val r2 = radiiOf()
+    r1.foreach { case (id, v) =>
+      assert(v.isFinite && v < 1000.0)
+      assert(math.abs(v - r2(id)) < 1e-9, s"layout rerun drifted at v$id")
+    }
+  }
+
   test("IVF top-k: high recall on clustered vectors, bounded candidate scan") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
