@@ -73,11 +73,14 @@ object ConnectedComponents {
     while (!done && round < maxRounds) {
       // largeStar/smallStar each reference the edge set twice (the
       // symmetrize union + the min join) — truncate lineage every round
-      // or the plan grows 4x per round.
+      // or the plan grows 4x per round. The checksum aggregate is the
+      // materializing action on the lazily-truncated frame, so each
+      // round runs ONE job (star passes + convergence signature), not
+      // two.
       var next = smallStar(largeStar(e))
       next = checkpoint match {
         case Some(cm) => cm.commit(round, next, Map("edges" -> sig._1.toDouble))
-        case None => graft.core.Lineage.truncate(next)
+        case None => graft.core.Lineage.truncateLazy(next)
       }
       val nsig = checksum(next)
       dropE(e)

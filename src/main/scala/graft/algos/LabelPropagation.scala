@@ -1,7 +1,6 @@
 package graft.algos
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -13,10 +12,13 @@ import graft.graph.Edges
   * previous labels, ties broken by minimum label — fully deterministic,
   * unlike the textbook randomized-order LPA.
   *
-  * Superstep = gather join (neighbor labels) + two-level aggregation
-  * (count per (vertex,label), then windowed argmax per vertex). The
-  * window partitions by vertex id, so no global sort; hub vertices have
-  * at most `distinct neighbor labels` rows in their window partition.
+  * Superstep = gather join (neighbor labels) + two-level hash
+  * aggregation: count per (vertex, label), then argmax per vertex as
+  * max(struct(cnt, -label)) — a hash aggregate with map-side partial
+  * aggregation, replacing the earlier row_number window whose
+  * per-vertex sort shuffled and ordered every (vertex, label) row.
+  * Ties still break to the minimum label (the negated field), so
+  * results are unchanged.
   */
 object LabelPropagation {
 
@@ -26,15 +28,14 @@ object LabelPropagation {
     // persist+count pass) and keeps the plan/stats flat across iterations
     var labels = graft.core.Lineage.truncate(
       Edges.vertices(edges).select(col("id"), col("id").as("label")))
-    val w = Window.partitionBy("vid").orderBy(col("cnt").desc, col("label").asc)
     for (i <- 1 to iterations) {
       val counts = nbrs.join(labels, nbrs("nbr") === labels("id"))
         .groupBy(nbrs("id").as("vid"), col("label"))
         .agg(count(lit(1)).as("cnt"))
       val next = graft.core.Lineage.truncate(
-        counts.withColumn("rn", row_number().over(w))
-          .where(col("rn") === 1)
-          .select(col("vid").as("id"), col("label")))
+        counts.groupBy(col("vid").as("id"))
+          .agg(max(struct(col("cnt"), (-col("label")).as("neglabel"))).as("m"))
+          .select(col("id"), (-col("m.neglabel")).as("label")))
       graft.core.Lineage.release(labels)
       labels = next
     }
