@@ -59,7 +59,7 @@ object ScalingBench {
         if (engine == "csrzip") {
           // result already materialized inside run() (superstep chain
           // ends in an eager truncate)
-          graft.algos.PageRankCsrZip.run(spark, zipIndex.get,
+          graft.algos.PageRankCsrZip.runIndexed(spark, zipIndex.get,
             maxIter = supersteps, tol = 0.0, alpha = 0.85)
             .edgesPerSecPerSuperstep
         } else if (engine == "csr") {

@@ -155,16 +155,30 @@ object PageRankCsrZip {
           tol: Double = 0.0, alpha: Double = 0.85,
           partitions: Int = 0): Result = {
     val index = buildIndex(spark, edges, partitions)
-    try run(spark, index, maxIter, tol, alpha)
+    try runIndexed(spark, index, maxIter, tol, alpha)
     finally index.release()
   }
 
   /** tol <= 0 runs exactly `maxIter` supersteps (one multi-stage job —
     * no per-superstep action at all); tol > 0 adds one scalar-returning
     * delta action per superstep.
+    *
+    * `checkpoint` gives this engine the same mid-algorithm durability
+    * contract as the relational PageRank (north_rule: per-iteration
+    * snapshots + manifest lineage + metrics, resumable): every
+    * `checkpointInterval` supersteps (and on the final one) the rank
+    * vector is written through CheckpointManager as an (id, rank)
+    * snapshot; a fresh run against the same directory resumes from the
+    * latest committed iteration by routing the snapshot back onto the
+    * co-partitioned block layout with one V-sized join (no E-sized
+    * work). Checkpointing also materializes the superstep chain, so
+    * fixed-iteration mode trades the single fused job for durability at
+    * the chosen cadence.
     */
-  def run(spark: SparkSession, index: ZipIndex, maxIter: Int,
-          tol: Double, alpha: Double): Result = {
+  def runIndexed(spark: SparkSession, index: ZipIndex, maxIter: Int,
+          tol: Double, alpha: Double,
+          checkpoint: Option[graft.core.CheckpointManager] = None,
+          checkpointInterval: Int = 5): Result = {
     val sc = spark.sparkContext
     val part = index.part
     val zblocks = index.zblocks
@@ -229,10 +243,49 @@ object PageRankCsrZip {
         }
     }
 
-    var x: RDD[(Int, Array[Double])] =
-      zblocks.mapValues(b => Array.fill(b.vertexIds.length)(1.0 / n))
-    var iter = 0
+    import spark.implicits._
+    // (id, rank) view of a state vector — the checkpoint/result shape
+    def ranksOf(xv: RDD[(Int, Array[Double])]): DataFrame =
+      zblocks.zipPartitions(xv) { (bi, xi) =>
+        if (!bi.hasNext || !xi.hasNext) Iterator.empty
+        else {
+          val (_, b) = bi.next(); val arr = xi.next()._2
+          b.vertexIds.iterator.zipWithIndex.map { case (v, i) => (v, arr(i)) }
+        }
+      }.toDF("id", "rank")
+    // route an (id, rank) snapshot back onto the block layout: one
+    // V-sized join against the blocks' own (id -> (partition, index))
+    // map — never touches edges
+    def stateFromRanks(df: DataFrame): RDD[(Int, Array[Double])] = {
+      val pairs = df.select("id", "rank").rdd
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      val loc = zblocks.flatMap { case (pid, b) =>
+        b.vertexIds.iterator.zipWithIndex.map { case (v, i) => (v, (pid, i)) }
+      }
+      val routed = pairs.join(loc, part.numPartitions)
+        .map { case (_, (rank, (pid, i))) => (pid, (i, rank)) }
+        .partitionBy(part)
+      zblocks.zipPartitions(routed, preservesPartitioning = true) { (bi, ri) =>
+        if (!bi.hasNext) Iterator.empty
+        else {
+          val (pid, b) = bi.next()
+          val arr = new Array[Double](b.vertexIds.length)
+          ri.foreach { case (_, (i, rank)) => arr(i) = rank }
+          Iterator.single((pid, arr))
+        }
+      }
+    }
+
+    val resumed = checkpoint.flatMap(_.resume())
+    val startIter = resumed.map(_._1 + 1).getOrElse(0)
+    var x: RDD[(Int, Array[Double])] = resumed match {
+      case Some((_, snap)) => stateFromRanks(snap)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      case None => zblocks.mapValues(b => Array.fill(b.vertexIds.length)(1.0 / n))
+    }
+    var iter = startIter
     var err = Double.MaxValue
+    var prevCommitted: Option[RDD[(Int, Array[Double])]] = None
     val t0 = System.nanoTime()
     while (iter < maxIter && (tol <= 0 || err >= n * tol)) {
       val nx = step(x)
@@ -251,23 +304,31 @@ object PageRankCsrZip {
         x.unpersist(false)
       }
       x = nx
+      checkpoint.foreach { cm =>
+        val lastStep = iter + 1 == maxIter || (tol > 0 && err < n * tol)
+        if ((iter + 1) % checkpointInterval == 0 || lastStep) {
+          // fixed mode has no per-superstep persist: cache the committed
+          // state so the snapshot write and the next superstep share it
+          if (tol <= 0) {
+            nx.persist(StorageLevel.MEMORY_AND_DISK)
+            prevCommitted.foreach(_.unpersist(false))
+            prevCommitted = Some(nx)
+          }
+          cm.commit(iter, ranksOf(nx), Map("err" -> err, "n" -> n.toDouble))
+        }
+      }
       iter += 1
     }
-    import spark.implicits._
-    val ranks = zblocks.zipPartitions(x) { (bi, xi) =>
-      if (!bi.hasNext || !xi.hasNext) Iterator.empty
-      else {
-        val (_, b) = bi.next(); val xv = xi.next()._2
-        b.vertexIds.iterator.zipWithIndex.map { case (v, i) => (v, xv(i)) }
-      }
-    }.toDF("id", "rank")
+    val ranks = ranksOf(x)
     // eager lineage truncation materializes THROUGH the superstep chain
     // (timing boundary) and pins the result before the blocks and state
     // caches are released below
     val out = graft.core.Lineage.truncate(ranks)
     val secs = (System.nanoTime() - t0) / 1e9
-    val eps = if (iter > 0) (m2 / 2.0) * iter / secs else 0.0
+    val steps = iter - startIter
+    val eps = if (steps > 0) (m2 / 2.0) * steps / secs else 0.0
     x.unpersist(false)
+    prevCommitted.foreach(_.unpersist(false))
     bSizes.unpersist(false) // the caller-owned index outlives this run
     Result(out, iter, err, eps)
   }

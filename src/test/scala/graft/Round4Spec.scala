@@ -31,7 +31,7 @@ class Round4Spec extends SparkSuite {
         val liveBytes = 2L * maxBlock * 8L
         info(f"per-task live superstep memory <= ${liveBytes / 1024}%d KiB " +
           f"(vs ${index.n * 8 / 1024 / 1024}%d MiB if all P partials were dense)")
-        val zip = graft.algos.PageRankCsrZip.run(spark, index, maxIter = 2,
+        val zip = graft.algos.PageRankCsrZip.runIndexed(spark, index, maxIter = 2,
           tol = 0.0, alpha = 0.85)
         assert(zip.iterations == 2)
         val rel = graft.algos.PageRank.fixedIterUndirected(e, 2)
@@ -117,6 +117,34 @@ class Round4Spec extends SparkSuite {
     assert(graft.core.Stats.spearmanPValue(Double.NaN, 10).isNaN)
     assert(graft.core.Stats.spearmanPValue(0.5, 2).isNaN)
     assert(graft.core.Stats.spearmanPValue(1.0, 10) == 0.0)
+  }
+
+  test("csrzip PageRank resumes mid-algorithm to identical scores") {
+    import org.apache.spark.sql.functions._
+    val e = graft.generators.Generators.ba(spark, 300, 3, 13)
+    val full = graft.algos.PageRankCsrZip.run(spark, e, maxIter = 8)
+      .ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("csrzip-ckpt").toString
+    val index = graft.algos.PageRankCsrZip.buildIndex(spark, e)
+    try {
+      // "killed" run: 4 of 8 supersteps, committing every 2 -> iter 3
+      graft.algos.PageRankCsrZip.runIndexed(spark, index, maxIter = 4, tol = 0.0,
+        alpha = 0.85, checkpoint = Some(new graft.core.CheckpointManager(spark, dir)),
+        checkpointInterval = 2)
+      val cm = new graft.core.CheckpointManager(spark, dir)
+      assert(cm.latestIteration().contains(3))
+      assert(cm.manifestJson(3).contains("\"partitions\""))
+      // fresh run resumes at iteration 4 and finishes the remaining 4
+      val resumed = graft.algos.PageRankCsrZip.runIndexed(spark, index, maxIter = 8,
+        tol = 0.0, alpha = 0.85, checkpoint = Some(cm), checkpointInterval = 2)
+      assert(resumed.iterations == 8)
+      val got = resumed.ranks.collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got.keySet == full.keySet)
+      got.foreach { case (id, v) =>
+        assert(math.abs(full(id) - v) < 1e-12, s"v$id: ${full(id)} vs $v")
+      }
+    } finally index.release()
   }
 
   test("embedding seed parameter: same seed reproduces, different seed diverges") {
