@@ -51,6 +51,19 @@ object EventStreams {
       .outputMode(OutputMode.Append()) // watermark allows append finalization
       .start()
 
+  /** STREAMING exact deduplication by event id with bounded state:
+    * `dropDuplicatesWithinWatermark` keeps each key only until the
+    * watermark passes it, so state is bounded by the number of DISTINCT
+    * keys inside the lateness window — the streaming twin of the batch
+    * exact-dedup (first occurrence wins; an at-least-once ingest
+    * upstream becomes exactly-once downstream as long as redeliveries
+    * arrive within the watermark).
+    */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Per-user sessionization state. `open = true`: `sess` is the
     * ordinal of the currently-open session (matching the batch
     * q_events_sessions numbering) and the rest its running aggregate.

@@ -117,6 +117,30 @@ class ExtrasSpec extends SparkSuite {
     assert(got == want, s"got $got")
   }
 
+  test("streaming exact dedup: redelivered events within the watermark dropped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val events = ms.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStreams.dedupEvents(events)
+      .select("event_id", "user_id")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, ts(1000), 10L, "a", 1.0, ""), (2L, ts(1001), 11L, "b", 2.0, ""),
+        (1L, ts(1000), 10L, "a", 1.0, "")) // in-batch duplicate
+      q.processAllAvailable()
+      // cross-batch redelivery of event 2 (within the 1h watermark)
+      ms.addData((2L, ts(1500), 11L, "b", 2.0, ""), (3L, ts(1600), 12L, "c", 3.0, ""))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dedup_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq((1L, 10L), (2L, 11L), (3L, 12L)), got.toString)
+  }
+
   test("multimodal: schema, deterministic features, ANN shape") {
     val media = Multimodal.synthesize(spark, 60)
     assert(media.count() == 60)
