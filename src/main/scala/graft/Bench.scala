@@ -49,7 +49,7 @@ object Bench {
     val (m, iters, prSecs, eps) = pagerankThroughput(spark, sfDir)
 
     val headline = Seq(
-      "q_pagerank", "q_cc", "q_triangles", "q_lpa", "q_edges",
+      "q_pagerank", "q_cc", "q_triangles", "q_lpa", "q_closeness", "q_edges",
       "q_pagerank_links", "q_dedup_exact", "q_minhash_dedup",
       "q_ann_topk", "q_ann_lsh", "q_ann_ivf", "q_embedding_dedup",
       "q_events_sessions", "q_rel_agg", "q_spearman_deg_pr",

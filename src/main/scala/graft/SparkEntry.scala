@@ -210,6 +210,20 @@ object SparkEntry {
     "q_lpa" -> ((s, dir) =>
       LabelPropagation.run(s, edges(s, dir), 3).orderBy("id")),
 
+    // sampled-source closeness (Eppstein-Wang): portable source set
+    // (id < 8) so the DuckDB recursive-CTE BFS mirrors the exact
+    // estimator; nano-rounded for float-stable hashing
+    "q_closeness" -> ((s, dir) => {
+      val e = edges(s, dir)
+      val srcs = Edges.vertices(e).where(col("id") < 8)
+        .select(col("id").as("s"))
+      graft.algos.ApproxCloseness.run(s, e, k = 8,
+        explicitSources = Some(srcs))
+        .select(col("id"),
+          round(col("closeness") * 1e9, 0).cast("long").as("closeness_nano"))
+        .orderBy("id")
+    }),
+
     "q_triangles" -> ((s, dir) =>
       TriangleCount.globalCount(s, edges(s, dir))),
 
@@ -433,6 +447,31 @@ object SparkEntry {
          |  FROM reach r JOIN nbrs n ON n.id = r.id
          |  WHERE r.comp < n.nbr)
          |SELECT id, min(comp) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    // sampled-source closeness mirror: bounded recursive-CTE walk from
+    // the portable source set (id < 8), min-dist per (source, vertex),
+    // then the Eppstein-Wang estimator k*(n-1)/(n*sum_dist) with the
+    // SAME double-arithmetic shape as the Spark side (premultiplied
+    // numerator, n*sd denominator) for bit-stable nano rounding
+    "q_closeness" ->
+      s"""WITH RECURSIVE $edgesSqlCte,
+         |walk AS (
+         |  SELECT id AS s, id, 0 AS dist FROM verts WHERE id < 8
+         |  UNION
+         |  SELECT w.s, n.nbr AS id, w.dist + 1 AS dist
+         |  FROM walk w JOIN nbrs n ON n.id = w.id
+         |  WHERE w.dist < 40),
+         |sp AS (SELECT s, id, min(dist) AS d FROM walk GROUP BY s, id),
+         |sums AS (SELECT id, sum(d) AS sd FROM sp GROUP BY id),
+         |nk AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |              CAST((SELECT count(*) FROM verts WHERE id < 8) AS DOUBLE) AS k
+         |       FROM verts)
+         |SELECT v.id, CAST(round(
+         |    CASE WHEN coalesce(sd, 0) > 0
+         |         THEN (nk.k * (nk.n - 1)) / (nk.n * sd)
+         |         ELSE 0.0 END * 1e9, 0) AS BIGINT) AS closeness_nano
+         |FROM verts v LEFT JOIN sums ON sums.id = v.id CROSS JOIN nk
+         |ORDER BY v.id""".stripMargin,
 
     "q_lpa" -> {
       def step(prev: String, k: Int): String =

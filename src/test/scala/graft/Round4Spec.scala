@@ -119,6 +119,36 @@ class Round4Spec extends SparkSuite {
     assert(graft.core.Stats.spearmanPValue(1.0, 10) == 0.0)
   }
 
+  test("sampled-source closeness: exact at k=n, correlated when sampled") {
+    // k = n on a connected graph makes the Eppstein-Wang estimator
+    // EXACTLY the closeness the nx-exact oracle computes
+    for (g <- Seq(K4, P10)) {
+      val e = edgesOf(g)
+      val n = graft.graph.Edges.vertices(e).count().toInt
+      val exact = graft.algos.PathCentralities.closeness(spark, e)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val approx = graft.algos.ApproxCloseness.run(spark, e, k = n)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(approx.keySet == exact.keySet)
+      approx.foreach { case (id, v) =>
+        assert(math.abs(v - exact(id)) < 1e-9, s"v$id: $v vs ${exact(id)}")
+      }
+    }
+    // sampled regime: strong rank agreement with exact on a BA graph
+    val e = graft.generators.Generators.ba(spark, 150, 3, 19)
+    val exact = graft.algos.PathCentralities.closeness(spark, e)
+    val approx = graft.algos.ApproxCloseness.run(spark, e, k = 40)
+    import org.apache.spark.sql.functions._
+    val joined = exact.toDF("id", "exact")
+      .join(approx.toDF("id", "approx"), "id")
+    val rho = graft.embed.Correlation.spearman(joined, "exact", "approx")
+    assert(rho > 0.8, s"spearman(exact, sampled-40) = $rho")
+    // disconnected: per-component estimates, no crash, all finite
+    val tp = graft.algos.ApproxCloseness.run(spark, edgesOf(TwoPaths), k = 6)
+      .collect().map(_.getDouble(1))
+    assert(tp.forall(v => v >= 0.0 && v.isFinite))
+  }
+
   test("LPA superstep plan: hash-aggregated argmax, no Window node") {
     val e = edgesOf(K8)
     val out = graft.algos.LabelPropagation.run(spark, e, 1)
