@@ -149,6 +149,32 @@ class Round4Spec extends SparkSuite {
     assert(tp.forall(v => v >= 0.0 && v.isFinite))
   }
 
+  test("sampled-source betweenness: exact at k=n, correlated when sampled") {
+    import org.apache.spark.sql.functions._
+    // k = n makes Brandes-Pich the exact nx betweenness (incl. the
+    // disconnected TwoTriangles case)
+    for (g <- Seq(K4, P10, TwoTriangles)) {
+      val e = edgesOf(g)
+      val n = graft.graph.Edges.vertices(e).count().toInt
+      val exact = graft.algos.PathCentralities.betweenness(spark, e)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val approx = graft.algos.ApproxBetweenness.run(spark, e, k = n)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(approx.keySet == exact.keySet)
+      approx.foreach { case (id, v) =>
+        assert(math.abs(v - exact(id)) < 1e-9, s"v$id: $v vs ${exact(id)}")
+      }
+    }
+    // sampled regime: strong rank agreement on a BA graph
+    val e = graft.generators.Generators.ba(spark, 120, 3, 29)
+    val exact = graft.algos.PathCentralities.betweenness(spark, e)
+    val approx = graft.algos.ApproxBetweenness.run(spark, e, k = 40)
+    val joined = exact.toDF("id", "exact")
+      .join(approx.toDF("id", "approx"), "id")
+    val rho = graft.embed.Correlation.spearman(joined, "exact", "approx")
+    assert(rho > 0.8, s"spearman(exact, sampled-40) = $rho")
+  }
+
   test("LPA superstep plan: hash-aggregated argmax, no Window node") {
     val e = edgesOf(K8)
     val out = graft.algos.LabelPropagation.run(spark, e, 1)
