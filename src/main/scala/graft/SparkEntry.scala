@@ -58,7 +58,11 @@ object SparkEntry {
        |FROM r5 ORDER BY id""".stripMargin
 
   /** The CTE chain alone (deg, r0..r5) for composition into other
-    * oracles (e.g. the Spearman harness).
+    * oracles (e.g. the Spearman harness). The per-vertex gather sum is
+    * the PortableSum fixed-point shape (scale 1e15), mirroring
+    * `PageRank.fixedIterUndirected(portableSum = true)` bit-for-bit —
+    * order-independent in both engines, closing the nano-rounding
+    * hazard documented in the header.
     */
   private def pagerankSqlCtes: String = {
     def step(prev: String, k: Int): String =
@@ -67,7 +71,8 @@ object SparkEntry {
          |         (1.0 - 0.85) / d.n + 0.85 * coalesce(s.s, 0.0) AS rank,
          |         d.deg, d.n
          |  FROM deg d
-         |  LEFT JOIN (SELECT n.nbr AS id, sum(r.rank / r.deg) AS s
+         |  LEFT JOIN (SELECT n.nbr AS id,
+         |               ${graft.core.PortableSum.fixedSumSql("r.rank / r.deg", "1e15")} AS s
          |             FROM nbrs n JOIN $prev r ON n.id = r.id
          |             GROUP BY n.nbr) s ON s.id = d.id)""".stripMargin
     s"""deg0 AS (SELECT id, CAST(count(*) AS DOUBLE) AS deg FROM nbrs GROUP BY id),
@@ -160,7 +165,8 @@ object SparkEntry {
     }),
 
     "q_eigencentrality" -> ((s, dir) =>
-      graft.algos.EigenvectorCentrality.fixedIter(edges(s, dir), 5)
+      graft.algos.EigenvectorCentrality.fixedIter(edges(s, dir), 5,
+          portableSum = true)
         .select(col("id"),
           round(col("score") * 1e9, 0).cast("long").as("score_nano"))
         .orderBy("id")),
@@ -180,7 +186,7 @@ object SparkEntry {
     "q_spearman_deg_pr" -> ((s, dir) => {
       val e = edges(s, dir)
       val deg = Edges.degrees(e)
-      val pr = PageRank.fixedIterUndirected(e, 5)
+      val pr = PageRank.fixedIterUndirected(e, 5, portableSum = true)
         .select(col("id"),
           round(col("rank") * 1e9, 0).cast("long").as("rank_nano"))
       graft.embed.Correlation.spearmanDf(
@@ -199,7 +205,7 @@ object SparkEntry {
         .orderBy(desc("degree"), col("id")).limit(20)),
 
     "q_pagerank" -> ((s, dir) =>
-      PageRank.fixedIterUndirected(edges(s, dir), 5)
+      PageRank.fixedIterUndirected(edges(s, dir), 5, portableSum = true)
         .select(col("id"),
           round(col("rank") * 1e9, 0).cast("long").as("rank_nano"))
         .orderBy("id")),
@@ -221,6 +227,22 @@ object SparkEntry {
         explicitSources = Some(srcs))
         .select(col("id"),
           round(col("closeness") * 1e9, 0).cast("long").as("closeness_nano"))
+        .orderBy("id")
+    }),
+
+    // sampled-source betweenness (Brandes-Pich): portable source set
+    // (id < 8) so the DuckDB mirror can replay the forward-sigma /
+    // backward-delta accumulation level by level; portable fixed-point
+    // sums make the delta aggregation order-independent; nano-rounded
+    "q_betweenness" -> ((s, dir) => {
+      val e = edges(s, dir)
+      val srcs = Edges.vertices(e).where(col("id") < 8)
+        .select(col("id").as("s"))
+      graft.algos.ApproxBetweenness.run(s, e, k = 8,
+        explicitSources = Some(srcs), portableSum = true)
+        .select(col("id"),
+          round(col("betweenness") * 1e9, 0).cast("long")
+            .as("betweenness_nano"))
         .orderBy("id")
     }),
 
@@ -250,7 +272,7 @@ object SparkEntry {
         .union(links.select(col("dst_url").as("url")))
       val dict = UrlDictionary.build(s, urls)
       val e = Edges.canonicalize(UrlDictionary.densify(links, dict))
-      PageRank.fixedIterUndirected(e, 5)
+      PageRank.fixedIterUndirected(e, 5, portableSum = true)
         .select(col("id"),
           round(col("rank") * 1e9, 0).cast("long").as("rank_nano"))
         .orderBy("id")
@@ -386,15 +408,19 @@ object SparkEntry {
   )
 
   private def relQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // price/discount aggregates in the PortableSum fixed-point shape
+    // (scales 1e8 / 1e15): order-independent and bit-identical to the
+    // DuckDB mirror regardless of shuffle order or data scale;
+    // sum(l_quantity) stays native — integer-valued, exact in double
     "q_rel_agg" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity")).cast("long").as("sum_qty"),
-          round(sum(col("l_extendedprice")) * 100, 0).cast("long")
-            .as("price_cents"),
-          round(avg(col("l_discount")) * 1e6, 0).cast("long")
-            .as("disc_micro"))
+          round(graft.core.PortableSum.fixedSum(col("l_extendedprice"), 1e8)
+            * 100, 0).cast("long").as("price_cents"),
+          round(graft.core.PortableSum.fixedSum(col("l_discount"), 1e15)
+            / count(lit(1)) * 1e6, 0).cast("long").as("disc_micro"))
         .orderBy("l_returnflag", "l_linestatus")),
 
     "q_rel_topcust" -> ((s, dir) => {
@@ -450,9 +476,10 @@ object SparkEntry {
 
     // sampled-source closeness mirror: bounded recursive-CTE walk from
     // the portable source set (id < 8), min-dist per (source, vertex),
-    // then the Eppstein-Wang estimator k*(n-1)/(n*sum_dist) with the
-    // SAME double-arithmetic shape as the Spark side (premultiplied
-    // numerator, n*sd denominator) for bit-stable nano rounding
+    // then the wf-improved Eppstein-Wang estimator
+    // ((rhat-1)/(n-1)) * ((rhat-1)/shat) with rhat = r*(n/k),
+    // shat = sd*(n/k) — the SAME double-arithmetic shape as the Spark
+    // side for bit-stable nano rounding
     "q_closeness" ->
       s"""WITH RECURSIVE $edgesSqlCte,
          |walk AS (
@@ -462,13 +489,14 @@ object SparkEntry {
          |  FROM walk w JOIN nbrs n ON n.id = w.id
          |  WHERE w.dist < 40),
          |sp AS (SELECT s, id, min(dist) AS d FROM walk GROUP BY s, id),
-         |sums AS (SELECT id, sum(d) AS sd FROM sp GROUP BY id),
+         |sums AS (SELECT id, sum(d) AS sd, count(*) AS r FROM sp GROUP BY id),
          |nk AS (SELECT CAST(count(*) AS DOUBLE) AS n,
          |              CAST((SELECT count(*) FROM verts WHERE id < 8) AS DOUBLE) AS k
          |       FROM verts)
          |SELECT v.id, CAST(round(
          |    CASE WHEN coalesce(sd, 0) > 0
-         |         THEN (nk.k * (nk.n - 1)) / (nk.n * sd)
+         |         THEN ((CAST(r AS DOUBLE) * (nk.n / nk.k) - 1.0) / (nk.n - 1.0))
+         |              * ((CAST(r AS DOUBLE) * (nk.n / nk.k) - 1.0) / (sd * (nk.n / nk.k)))
          |         ELSE 0.0 END * 1e9, 0) AS BIGINT) AS closeness_nano
          |FROM verts v LEFT JOIN sums ON sums.id = v.id CROSS JOIN nk
          |ORDER BY v.id""".stripMargin,
@@ -538,7 +566,64 @@ object SparkEntry {
          |         UNION ALL SELECT dst AS id, src AS nbr FROM edges),
          |$pagerankSqlTail""".stripMargin,
   ) ++ textOracles ++ annOracles ++ eventOracles ++ relOracles ++
-    spearmanOracle ++ eigenOracle ++ influenceOracle
+    spearmanOracle ++ eigenOracle ++ influenceOracle ++ betweennessOracle
+
+  /** Brandes forward-sigma / backward-delta mirror, unrolled over the
+    * BFS levels (max observed depth from the id < 8 source set is 4 at
+    * sf0.001 and 2 at sf0.01/sf0.1; 6 levels of margin — levels beyond
+    * the true depth are empty CTEs and contribute nothing, exactly like
+    * the Spark loop stopping at frontier exhaustion). sigma sums are
+    * native doubles (integer path counts — exact under any order); the
+    * delta aggregation and the final per-vertex accumulation use the
+    * PortableSum fixed-point shape at scale 1e12, bit-matching
+    * ApproxBetweenness(portableSum = true).
+    */
+  private def betweennessOracle: Map[String, String] = {
+    val maxL = 6
+    val sigmas = (1 to maxL).map { k =>
+      s"""s$k AS (SELECT sp.s, sp.id, sum(p.sigma) AS sigma
+         |  FROM sp JOIN nbrs n ON n.id = sp.id
+         |  JOIN s${k - 1} p ON p.s = sp.s AND p.id = n.nbr
+         |  WHERE sp.d = $k GROUP BY sp.s, sp.id)""".stripMargin
+    }.mkString(",\n")
+    val deltaAgg = graft.core.PortableSum.fixedSumSql(
+      "lv.sigma / w.sigma * (1.0 + w.delta)", "1e12")
+    val deltas = (maxL - 1 to 0 by -1).map { k =>
+      s"""d$k AS (SELECT v.s, v.id, v.sigma, coalesce(c.delta, 0.0) AS delta
+         |  FROM s$k v LEFT JOIN (
+         |    SELECT w.s, n.nbr AS id, $deltaAgg AS delta
+         |    FROM d${k + 1} w JOIN nbrs n ON n.id = w.id
+         |    JOIN s$k lv ON lv.s = w.s AND lv.id = n.nbr
+         |    GROUP BY w.s, n.nbr) c ON c.s = v.s AND c.id = v.id)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to maxL)
+      .map(k => s"SELECT s, id, delta FROM d$k").mkString("\n  UNION ALL ")
+    Map("q_betweenness" ->
+      s"""WITH RECURSIVE $edgesSqlCte,
+         |walk AS (
+         |  SELECT id AS s, id, 0 AS dist FROM verts WHERE id < 8
+         |  UNION
+         |  SELECT w.s, n.nbr AS id, w.dist + 1 AS dist
+         |  FROM walk w JOIN nbrs n ON n.id = w.id
+         |  WHERE w.dist < 40),
+         |sp AS (SELECT s, id, min(dist) AS d FROM walk GROUP BY s, id),
+         |s0 AS (SELECT s, id, CAST(1 AS DOUBLE) AS sigma FROM sp WHERE d = 0),
+         |$sigmas,
+         |d$maxL AS (SELECT s, id, sigma, CAST(0 AS DOUBLE) AS delta FROM s$maxL),
+         |$deltas,
+         |alldelta AS (
+         |  $union),
+         |raw AS (SELECT id, ${graft.core.PortableSum.fixedSumSql("delta", "1e12")} AS raw
+         |        FROM alldelta WHERE id <> s GROUP BY id),
+         |nk AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |              CAST((SELECT count(*) FROM verts WHERE id < 8) AS DOUBLE) AS k
+         |       FROM verts)
+         |SELECT v.id, CAST(round(coalesce(raw.raw, 0.0) *
+         |    ((1.0 / ((nk.n - 1.0) * (nk.n - 2.0))) * (nk.n / nk.k)) * 1e9, 0)
+         |    AS BIGINT) AS betweenness_nano
+         |FROM verts v LEFT JOIN raw ON raw.id = v.id CROSS JOIN nk
+         |ORDER BY v.id""".stripMargin)
+  }
 
   /** The IC cascade with a round-independent per-edge coin equals the
     * reachability closure over "open" edges from the seeds — exactly
@@ -559,14 +644,18 @@ object SparkEntry {
   )
 
   private def eigenOracle: Map[String, String] = Map(
+    // gather + L2-norm sums in the PortableSum fixed-point shape,
+    // mirroring EigenvectorCentrality.fixedIter(portableSum = true)
     "q_eigencentrality" -> {
       def step(prev: String, k: Int): String =
         s"""s$k AS (SELECT v.id, v.score + coalesce(g.s, 0.0) AS raw
            |        FROM $prev v LEFT JOIN
-           |          (SELECT n.nbr AS id, sum(r.score) AS s
+           |          (SELECT n.nbr AS id,
+           |             ${graft.core.PortableSum.fixedSumSql("r.score", "1e15")} AS s
            |           FROM nbrs n JOIN $prev r ON n.id = r.id
            |           GROUP BY n.nbr) g ON g.id = v.id),
-           |e$k AS (SELECT id, raw / (SELECT sqrt(sum(raw * raw)) FROM s$k)
+           |e$k AS (SELECT id, raw / (SELECT sqrt(
+           |          ${graft.core.PortableSum.fixedSumSql("raw * raw", "1e10")}) FROM s$k)
            |               AS score FROM s$k)""".stripMargin
       s"""WITH $edgesSqlCte,
          |e0 AS (SELECT id, 1.0 AS score FROM verts),
@@ -907,11 +996,13 @@ object SparkEntry {
 
   private def relOracles: Map[String, String] = Map(
     "q_rel_agg" ->
-      """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-        |  CAST(round(sum(l_extendedprice) * 100, 0) AS BIGINT) AS price_cents,
-        |  CAST(round(avg(l_discount) * 1e6, 0) AS BIGINT) AS disc_micro
-        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+         |  CAST(round(${graft.core.PortableSum.fixedSumSql("l_extendedprice", "1e8")}
+         |       * 100, 0) AS BIGINT) AS price_cents,
+         |  CAST(round(${graft.core.PortableSum.fixedSumSql("l_discount", "1e15")}
+         |       / count(*) * 1e6, 0) AS BIGINT) AS disc_micro
+         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_rel_topcust" ->
       """SELECT c_custkey, c_name,

@@ -36,10 +36,22 @@ import graft.graph.Edges
   */
 object ApproxBetweenness {
 
+  /** `explicitSources`: caller-chosen source set (one `s` column)
+    * overriding the hash sample — used by the SQL-mirrored driver query.
+    * `portableSum = true` quantizes the two order-dependent double sums
+    * (backward dependency aggregation, final per-vertex accumulation)
+    * through [[graft.core.PortableSum]] at scale 1e12 (addends are
+    * bounded by ~n), making the result bit-identical to the DuckDB
+    * mirror; sigma sums stay native — path counts are integers, exact
+    * in double under any order.
+    */
   def run(spark: SparkSession, edges: DataFrame, k: Int,
           seed: Long = 42, maxLevels: Int = 128,
           normalized: Boolean = true,
-          explicitSources: Option[DataFrame] = None): DataFrame = {
+          explicitSources: Option[DataFrame] = None,
+          portableSum: Boolean = false): DataFrame = {
+    def sumD(c: org.apache.spark.sql.Column) =
+      if (portableSum) graft.core.PortableSum.fixedSum(c, 1e12) else sum(c)
     val nbrs = Edges.neighbors(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val verts = Edges.vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val n = verts.count()
@@ -89,7 +101,7 @@ object ApproxBetweenness {
           (lit(1.0) + col("delta")).as("inc"), col("sigma").as("sigma_w"))
         .join(lower.select(col("s"), col("id"), col("sigma")), Seq("s", "id"))
         .groupBy(col("s"), col("id"), col("sigma"))
-        .agg(sum(col("sigma") / col("sigma_w") * col("inc")).as("delta"))
+        .agg(sumD(col("sigma") / col("sigma_w") * col("inc")).as("delta"))
       // vertices on this level with no successors keep delta = 0
       val nextDelta = graft.core.Lineage.truncate(
         lower.select(col("s"), col("id"), col("sigma"))
@@ -104,24 +116,32 @@ object ApproxBetweenness {
 
     // bc(v) = (n/k) * sum over sources of delta, excluding v == s rows
     // (the deepest frame is all-zero delta; the level-0 frame is the
-    // sources themselves and contributes nothing after the filter)
-    val scale =
-      (n.toDouble / kEff.toDouble) *
-        (if (normalized && n > 2) 1.0 / ((n - 1.0) * (n - 2.0))
-        else if (!normalized) 0.5
-        else 1.0)
+    // sources themselves and contributes nothing after the filter).
+    // Scale mirrors nx _rescale exactly: the base factor is 1/((n-1)(n-2))
+    // normalized, 1/2 undirected-unnormalized — and when it is undefined
+    // (normalized with n <= 2) nx applies NO rescale at all, so the n/k
+    // sampling correction is skipped there too.
+    val base: Option[Double] =
+      if (normalized) { if (n > 2) Some(1.0 / ((n - 1.0) * (n - 2.0))) else None }
+      else Some(0.5)
+    val scale = base
+      .map(_ * (n.toDouble / math.max(kEff, 1L).toDouble))
+      .getOrElse(1.0)
     val out = graft.core.Lineage.truncate(
       if (bcFrames.isEmpty)
         verts.select(col("id"), lit(0.0).as("betweenness"))
       else {
         val allDelta = bcFrames.reduce(_ union _)
           .where(col("id") =!= col("s"))
-          .groupBy("id").agg(sum(col("delta")).as("raw"))
+          .groupBy("id").agg(sumD(col("delta")).as("raw"))
         verts.join(allDelta, Seq("id"), "left")
           .select(col("id"),
             (coalesce(col("raw"), lit(0.0)) * scale).as("betweenness"))
       })
     bcFrames.foreach(graft.core.Lineage.release)
+    // when the BFS never expanded (isolated sources) the initial delta
+    // frame is in no list — release it explicitly or it leaks
+    if (bcFrames.isEmpty) graft.core.Lineage.release(deltaCur)
     (if (level > 0) List(visited) else Nil).foreach(graft.core.Lineage.release)
     levels.foreach(graft.core.Lineage.release)
     graft.core.Lineage.release(sources)

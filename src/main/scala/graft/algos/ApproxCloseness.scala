@@ -12,13 +12,20 @@ import graft.graph.Edges
   * (/root/reference/run_benchmarks.py:312-314); this operator covers
   * the regime above the cutoff with the Eppstein–Wang estimator
   * ("Fast approximation of centrality", SODA'01): run BFS from k
-  * uniformly sampled sources and estimate
+  * uniformly sampled sources and estimate the Wasserman-Faust improved
+  * closeness (nx `wf_improved=True`, the oracle's convention) from the
+  * sources that REACH v: with r = |reaching sources|, the reachable-set
+  * size and distance sum extrapolate by n/k
   *
-  *   closeness(v) ~ k * (n - 1) / (n * sum_{s in S} d(s, v))
+  *   rhat = r * (n/k),  shat = sd * (n/k)
+  *   closeness(v) ~ ((rhat - 1) / (n - 1)) * ((rhat - 1) / shat)
   *
-  * With k = n (all sources) the estimator IS the exact closeness of a
-  * connected graph, which the parity test exploits against the
-  * nx-exact PathCentralities oracle.
+  * With k = n (all sources) rhat and shat are exact, so the estimator
+  * IS nx wf_improved closeness — INCLUDING on disconnected graphs,
+  * which the parity test exploits against the nx-exact PathCentralities
+  * oracle. (On a connected graph every vertex has r = k and the formula
+  * reduces to the classic k*(n-1)/(n*sd).) Vertices reached by no
+  * source, or by only themselves, report 0.0 like nx.
   *
   * Shape: one simultaneous k-source frontier BFS — state is (source,
   * vertex, dist) rows, each level one join of the frontier against the
@@ -29,11 +36,12 @@ import graft.graph.Edges
   * rows. Sources are a deterministic hash sample (xxhash64), so runs
   * are reproducible across partitionings and cluster sizes.
   *
-  * Disconnected graphs: a vertex's sum runs over the sampled sources
-  * that REACH it (the estimator is then per-component, consistent with
-  * closeness being component-local); vertices reached by no sampled
-  * source (or with a zero distance sum) report 0.0 like an isolated
-  * vertex.
+  * Disconnected graphs: the wf_improved component-size factor
+  * ((rhat-1)/(n-1)) downweights small components exactly like nx; for
+  * k < n the per-vertex rhat is itself an estimate (sources are sampled
+  * globally, not per component), so above-cutoff values on disconnected
+  * graphs carry the sampling error of BOTH factors — fine for the
+  * ranking/correlation uses this scale path serves.
   */
 object ApproxCloseness {
 
@@ -79,11 +87,16 @@ object ApproxCloseness {
       }
     }
 
+    // wf-improved estimator from the reaching-source count (the SQL
+    // mirror reproduces this exact double-arithmetic shape)
+    val ratio = n.toDouble / math.max(kEff, 1L).toDouble
+    val rhat = col("r").cast("double") * lit(ratio)
     val est = dist.groupBy("id")
-      .agg(sum(col("dist")).as("sd"))
+      .agg(sum(col("dist")).as("sd"), count(lit(1)).as("r"))
       .select(col("id"),
         when(col("sd") > 0,
-          lit(kEff.toDouble * (n - 1).toDouble) / (lit(n.toDouble) * col("sd")))
+          ((rhat - 1.0) / lit((n - 1).toDouble)) *
+            ((rhat - 1.0) / (col("sd") * lit(ratio))))
           .otherwise(lit(0.0)).as("closeness"))
     val out = graft.core.Lineage.truncate(
       verts.join(est, Seq("id"), "left")

@@ -75,18 +75,33 @@ object EigenvectorCentrality {
 
   /** Fixed-iteration variant for the DuckDB oracle: k power-iteration
     * steps of x' = normalize(x + A x), no convergence action inside.
+    *
+    * `portableSum = true` makes both order-dependent sums (neighbor
+    * gather, L2 norm) order-independent and engine-identical via
+    * [[graft.core.PortableSum]]: gather addends are normalized scores
+    * (<= 1 after the first step, exactly 1.0 at it — scale 1e15); norm
+    * addends raw^2 <= (1+maxdeg)^2 ~ 1e5 — scale 1e10 keeps the rounded
+    * product below 2^53.
     */
-  def fixedIter(edges: DataFrame, iters: Int): DataFrame = {
+  def fixedIter(edges: DataFrame, iters: Int,
+                portableSum: Boolean = false): DataFrame = {
     val nbrs = Edges.neighbors(edges)
     val verts = nbrs.select(col("id")).distinct()
     var x = verts.select(col("id"), lit(1.0).as("score"))
     for (_ <- 1 to iters) {
       val msgs = nbrs.join(x, Seq("id"))
         .select(col("nbr").as("mid"), col("score"))
-      val gathered = msgs.groupBy(col("mid")).agg(sum(col("score")).as("s"))
+      val sumExpr =
+        if (portableSum) graft.core.PortableSum.fixedSum(col("score"), 1e15)
+        else sum(col("score"))
+      val gathered = msgs.groupBy(col("mid")).agg(sumExpr.as("s"))
       val raw = x.join(gathered, x("id") === gathered("mid"), "left")
         .select(x("id"), (col("score") + coalesce(col("s"), lit(0.0))).as("raw"))
-      val nrm = raw.agg(sqrt(sum(col("raw") * col("raw"))).as("nrm"))
+      val normExpr =
+        if (portableSum)
+          sqrt(graft.core.PortableSum.fixedSum(col("raw") * col("raw"), 1e10))
+        else sqrt(sum(col("raw") * col("raw")))
+      val nrm = raw.agg(normExpr.as("nrm"))
       x = raw.crossJoin(nrm).select(col("id"), (col("raw") / col("nrm")).as("score"))
     }
     x

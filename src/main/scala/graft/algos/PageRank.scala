@@ -155,9 +155,16 @@ object PageRank {
     * canonical edge table has degree >= 1, so dangling mass is zero by
     * construction). Kept as a single declarative plan (no actions inside)
     * so Catalyst sees the whole 2k-iteration pipeline.
+    *
+    * `portableSum = true` quantizes each gather addend (rank/deg <= 1,
+    * scale 1e15) through [[graft.core.PortableSum]] so the per-vertex
+    * sums are order-independent and bit-identical to the DuckDB mirror
+    * — closing the latent nano-rounding hazard on the oracle queries.
+    * Production callers keep the native double sum.
     */
   def fixedIterUndirected(edges: DataFrame, iters: Int,
-                          alpha: Double = 0.85): DataFrame = {
+                          alpha: Double = 0.85,
+                          portableSum: Boolean = false): DataFrame = {
     val nbrs = Edges.neighbors(edges)
     val deg = nbrs.groupBy("id").agg(count(lit(1)).cast("double").as("deg"))
     val nRow = deg.agg(count(lit(1)).cast("double").as("n"))
@@ -166,7 +173,10 @@ object PageRank {
     for (_ <- 1 to iters) {
       val msgs = nbrs.join(ranks, Seq("id"))
         .select(col("nbr").as("mid"), (col("rank") / col("deg")).as("c"))
-      val gathered = msgs.groupBy(col("mid")).agg(sum(col("c")).as("s"))
+      val sumExpr =
+        if (portableSum) graft.core.PortableSum.fixedSum(col("c"), 1e15)
+        else sum(col("c"))
+      val gathered = msgs.groupBy(col("mid")).agg(sumExpr.as("s"))
       ranks = ranks.join(gathered, ranks("id") === gathered("mid"), "left")
         .select(ranks("id"),
           ((lit(1.0) - lit(alpha)) / col("n") +

@@ -229,12 +229,21 @@ object PageRankCsrZip {
             }
           }
       }
+      // mapSideCombine = false is what actually DELIVERS the O(V/P)
+      // live-memory bound: keys are distinct within a task (each target
+      // partition is emitted once), so reduceByKey's default map-side
+      // ExternalAppendOnlyMap would merge nothing yet buffer every
+      // streamed accumulator before shuffle write. With it off, each
+      // (t, acc) goes straight to the shuffle writer and the merge runs
+      // reduce-side only — identical result, bounded mapper memory.
+      def add(a: Array[Double], b: Array[Double]): Array[Double] = {
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      }
       msgs
-        .reduceByKey(part, (a, b) => {
-          var i = 0
-          while (i < a.length) { a(i) += b(i); i += 1 }
-          a
-        })
+        .combineByKeyWithClassTag[Array[Double]](
+          (a: Array[Double]) => a, add, add, part, mapSideCombine = false)
         .mapValues { s =>
           val o = new Array[Double](s.length)
           var i = 0

@@ -151,13 +151,22 @@ object Ann {
           pp => when(pp === 0, col("b")).otherwise(
             col("b").bitwiseXOR(
               graft.core.Cols.shiftLeftC(lit(1L), pp - 1))))).as("b"))
-    val cands = cb.join(broadcast(qb), Seq("t", "b"))
+    // dedup on the ID PAIR ONLY, then re-join the vectors: a candidate
+    // can surface from several (table, probe) buckets, and a distinct
+    // over rows that still carry both embeddings would shuffle ~d x 16
+    // bytes per candidate where 16 bytes (two longs) suffice — same
+    // ids-first shape as embeddingNearDups
+    val cands = cb.select("neighbor_id", "t", "b")
+      .join(broadcast(qb.select("query_id", "t", "b")), Seq("t", "b"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .select(col("query_id"), col("neighbor_id"))
       .distinct()
-    val scored = cands.select(col("query_id"), col("neighbor_id"),
-      round(cosine(col("qv"), col("cv")) * 1e6, 0).cast("long")
-        .as("cosine_micro"))
+    val scored = cands
+      .join(broadcast(q), "query_id")
+      .join(c, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")) * 1e6, 0).cast("long")
+          .as("cosine_micro"))
     topKByCosine(scored, k)
   }
 

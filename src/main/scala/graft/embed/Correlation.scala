@@ -89,22 +89,81 @@ object Correlation {
       .otherwise(cov / (sa * sb))
   }
 
+  /** Below this row count the whole computation runs driver-locally:
+    * the distributed two-phase rank costs ~8 tiny jobs of pure
+    * scheduling overhead on benchmark-scale frames (the #2 cost of
+    * every sf0.1 driver bench run on a 1,000-row input), while 2M
+    * (value, value) pairs collect in ~32 MB and rank in milliseconds.
+    * Same gated-local-path pattern as SpectralInit: the distributed
+    * plan — the one that matters at 100 TB — engages above the
+    * threshold, and a parity test pins the two paths to each other.
+    */
+  private[graft] val LocalThreshold = 2000000
+
   /** Spearman rho of (a, b) columns of `df`. Returns NaN when either
     * column is constant.
     */
-  def spearman(df: DataFrame, a: String, b: String): Double = {
+  def spearman(df: DataFrame, a: String, b: String): Double =
+    spearmanVia(df, a, b)._1
+
+  /** (rho, usedLocalPath) — threshold injectable for the routing test. */
+  private[graft] def spearmanVia(df: DataFrame, a: String, b: String,
+                                 threshold: Int = LocalThreshold): (Double, Boolean) =
+    if (threshold > 0 && df.limit(threshold + 1).count() <= threshold)
+      (spearmanLocal(collectPairs(df, a, b)), true)
+    else (spearmanDistributed(df, a, b), false)
+
+  private def spearmanDistributed(df: DataFrame, a: String, b: String): Double = {
     val withBoth = avgRanksBoth(df, a, b)
     val r = withBoth.agg(pearson(col("_ra"), col("_rb"))).head()
     if (r.isNullAt(0)) Double.NaN else r.getDouble(0)
   }
 
   /** DataFrame variant for oracle-checked queries: single row with the
-    * correlation in integer micro-units.
+    * correlation in integer micro-units. Routed through the same
+    * local-path gate as [[spearman]]; the micro rounding runs through
+    * the identical Spark `round` expression on both paths.
     */
   def spearmanDf(df: DataFrame, a: String, b: String,
-                 outName: String = "spearman_micro"): DataFrame = {
-    val withBoth = avgRanksBoth(df, a, b)
-    withBoth.agg(round(pearson(col("_ra"), col("_rb")) * 1e6, 0)
-      .cast("long").as(outName))
+                 outName: String = "spearman_micro",
+                 threshold: Int = LocalThreshold): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (threshold > 0 && df.limit(threshold + 1).count() <= threshold)
+      Seq(spearmanLocal(collectPairs(df, a, b))).toDF("_rho")
+        .select(round(col("_rho") * 1e6, 0).cast("long").as(outName))
+    else {
+      val withBoth = avgRanksBoth(df, a, b)
+      withBoth.agg(round(pearson(col("_ra"), col("_rb")) * 1e6, 0)
+        .cast("long").as(outName))
+    }
+  }
+
+  private def collectPairs(df: DataFrame, a: String, b: String): Array[(Double, Double)] =
+    df.select(col(a).cast("double"), col(b).cast("double"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+
+  /** Driver-local Spearman over collected pairs: identical rank
+    * convention (#smaller + (#equal+1)/2) and the same two-pass Pearson
+    * the bootstrap harness uses; NaN on a constant column.
+    */
+  private[graft] def spearmanLocal(xs: Array[(Double, Double)]): Double = {
+    def avgRank(v: Array[Double]): Array[Double] = {
+      val groups = v.zipWithIndex.groupBy(_._1)
+      val ranks = new Array[Double](v.length)
+      var c = 0
+      groups.toSeq.sortBy(_._1).foreach { case (_, idxs) =>
+        val r = c + (idxs.length + 1) / 2.0
+        idxs.foreach { case (_, i) => ranks(i) = r }
+        c += idxs.length
+      }
+      ranks
+    }
+    val ra = avgRank(xs.map(_._1)); val rb = avgRank(xs.map(_._2))
+    val ma = ra.sum / ra.length; val mb = rb.sum / rb.length
+    val cov = ra.zip(rb).map { case (x, y) => (x - ma) * (y - mb) }.sum
+    val sa = math.sqrt(ra.map(x => (x - ma) * (x - ma)).sum)
+    val sb = math.sqrt(rb.map(y => (y - mb) * (y - mb)).sum)
+    if (sa == 0 || sb == 0) Double.NaN else cov / (sa * sb)
   }
 }

@@ -115,23 +115,6 @@ object CorrelationBench {
                                   replicates: Int, seed: Long): Seq[Double] =
     replicatesOf(collectPairs(df, a, b), replicates, seed)
 
-  private def spearmanLocal(xs: Array[(Double, Double)]): Double = {
-    def avgRank(v: Array[Double]): Array[Double] = {
-      val groups = v.zipWithIndex.groupBy(_._1)
-      val ranks = new Array[Double](v.length)
-      var c = 0
-      groups.toSeq.sortBy(_._1).foreach { case (_, idxs) =>
-        val r = c + (idxs.length + 1) / 2.0
-        idxs.foreach { case (_, i) => ranks(i) = r }
-        c += idxs.length
-      }
-      ranks
-    }
-    val ra = avgRank(xs.map(_._1)); val rb = avgRank(xs.map(_._2))
-    val ma = ra.sum / ra.length; val mb = rb.sum / rb.length
-    val cov = ra.zip(rb).map { case (x, y) => (x - ma) * (y - mb) }.sum
-    val sa = math.sqrt(ra.map(x => (x - ma) * (x - ma)).sum)
-    val sb = math.sqrt(rb.map(y => (y - mb) * (y - mb)).sum)
-    if (sa == 0 || sb == 0) Double.NaN else cov / (sa * sb)
-  }
+  private def spearmanLocal(xs: Array[(Double, Double)]): Double =
+    Correlation.spearmanLocal(xs)
 }

@@ -56,9 +56,21 @@ case class VecCosineExpr(left: Expression, right: Expression)
 
 object VecCosine {
 
-  /** Static entry point referenced from generated code. */
+  /** Static entry point referenced from generated code.
+    *
+    * Malformed-input contract (matches the DuckDB mirror's semantics
+    * rather than silently diverging from it): mismatched dimensions
+    * throw — DuckDB's list_dot_product errors on unequal lengths, and a
+    * truncated score would be a silent wrong answer; a zero-norm vector
+    * scores 0.0 against everything — the replaced HOF formulation
+    * produced NaN there, which neither sorts deterministically nor
+    * survives the micro-unit rounding the callers apply.
+    */
   def cosine(a: ArrayData, b: ArrayData): Double = {
-    val d = math.min(a.numElements(), b.numElements())
+    val d = a.numElements()
+    if (b.numElements() != d)
+      throw new IllegalArgumentException(
+        s"vec_cosine: dimension mismatch ($d vs ${b.numElements()})")
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var j = 0
     while (j < d) {
@@ -66,7 +78,8 @@ object VecCosine {
       dot += x * y; na += x * x; nb += y * y
       j += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
   }
 
   /** Column API. */

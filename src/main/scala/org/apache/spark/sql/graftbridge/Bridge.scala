@@ -29,10 +29,24 @@ object Bridge {
   def localCheckpointFresh(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     localCheckpointFresh(df, eager = true)
 
+  /** RDD.unpersist on ANY locally-checkpointed RDD logs a scary
+    * "cannot be recomputed after unpersisting" WARN — even here, where
+    * every release happens after the successor state is materialized
+    * and the frame is provably dead. The warning spams hundreds of
+    * lines into every iterative bench run, so the rdd-package logger is
+    * raised to ERROR once, on first release. (Scoped to
+    * org.apache.spark.rdd only; executor/task warnings are unaffected.)
+    */
+  private lazy val muteLocalCheckpointWarn: Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () } // non-log4j2 backends: keep the noise
+
   /** Unpersist the RDD behind a localCheckpointFresh frame — call once
     * the frame is provably dead (a successor checkpoint materialized).
     */
   def releaseCheckpoint(df: org.apache.spark.sql.DataFrame): Unit = {
+    muteLocalCheckpointWarn
     import org.apache.spark.sql.classic
     import org.apache.spark.sql.execution.LogicalRDD
     df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]

@@ -120,9 +120,10 @@ class Round4Spec extends SparkSuite {
   }
 
   test("sampled-source closeness: exact at k=n, correlated when sampled") {
-    // k = n on a connected graph makes the Eppstein-Wang estimator
-    // EXACTLY the closeness the nx-exact oracle computes
-    for (g <- Seq(K4, P10)) {
+    // k = n makes the wf-improved Eppstein-Wang estimator EXACTLY the
+    // closeness the nx-exact oracle computes — including the
+    // disconnected TwoPaths case (the wf component-size factor)
+    for (g <- Seq(K4, P10, TwoPaths)) {
       val e = edgesOf(g)
       val n = graft.graph.Edges.vertices(e).count().toInt
       val exact = graft.algos.PathCentralities.closeness(spark, e)
@@ -143,8 +144,8 @@ class Round4Spec extends SparkSuite {
       .join(approx.toDF("id", "approx"), "id")
     val rho = graft.embed.Correlation.spearman(joined, "exact", "approx")
     assert(rho > 0.8, s"spearman(exact, sampled-40) = $rho")
-    // disconnected: per-component estimates, no crash, all finite
-    val tp = graft.algos.ApproxCloseness.run(spark, edgesOf(TwoPaths), k = 6)
+    // disconnected + SAMPLED (k < n): estimates stay finite, non-negative
+    val tp = graft.algos.ApproxCloseness.run(spark, edgesOf(TwoPaths), k = 4)
       .collect().map(_.getDouble(1))
     assert(tp.forall(v => v >= 0.0 && v.isFinite))
   }
