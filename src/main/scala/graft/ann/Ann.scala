@@ -187,11 +187,33 @@ object Ann {
     * nlist=65536 / nprobe=32 a query scores ~0.05% of the corpus.
     * Assignment ties break toward the smaller centroid id (micro-cosine
     * equality), keeping Spark and the SQL mirror bit-identical.
+    *
+    * Assignment FLOP bound (flat, `coarseProbe = 0`): every corpus
+    * vector scores every centroid — `2 * n * nlist * d` FLOPs. That is
+    * the term that blows up first at web scale: 10^9 vectors x
+    * nlist=65536 x d=768 is ~10^17 FLOPs (days of single-node compute;
+    * hours even across a large cluster). Recommended flat-assignment
+    * ceilings: nlist <= 4096 at n = 10^6 (~6*10^12 FLOPs, seconds/core
+    * at d=768) and nlist <= 1024 at n = 10^9 (~1.6*10^15) — beyond
+    * that, switch on the two-level quantizer.
+    *
+    * Two-level quantizer (`coarseProbe` = w > 0): the first
+    * ceil(sqrt(nlist)) centroids of the SAME md5 ordering double as a
+    * coarse level; every fine centroid belongs to its nearest coarse
+    * cell. A corpus vector scores the sqrt(nlist) coarse centroids,
+    * keeps its `w` nearest coarse cells, and scores only the fine
+    * centroids in those cells — `~2 * n * d * sqrt(nlist) * (1 + w)`
+    * FLOPs (expected sqrt(nlist) fine per cell), a 28x FLOP cut at
+    * nlist=65536 / w=8. With `w >= ceil(sqrt(nlist))` every cell is
+    * probed and the assignment is IDENTICAL to the flat path (same
+    * max-struct tie-break) — the parity test exploits this. The
+    * broadcast stays nlist x d either way; only compute shrinks.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 64, nprobe: Int = 8,
               idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
+              vecCol: String = "embedding",
+              coarseProbe: Int = 0): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("cv"))
     val q = queries.select(col(idCol).as("query_id"),
@@ -200,15 +222,7 @@ object Ann {
       .orderBy(md5(col("neighbor_id").cast("string")), col("neighbor_id"))
       .limit(nlist)
       .select(col("neighbor_id").as("cid"), col("cv").as("centroid"))
-    // nearest centroid per corpus vector: max(struct) keeps the highest
-    // (cosine_micro, -cid) pair — deterministic smaller-id tie-break
-    val cassign = c.crossJoin(broadcast(centroids))
-      .select(col("neighbor_id"), col("cv"),
-        struct(round(cosine(col("cv"), col("centroid")) * 1e6, 0)
-          .cast("long").as("cm"), (-col("cid")).as("negcid")).as("sc"))
-      .groupBy("neighbor_id")
-      .agg(first(col("cv")).as("cv"), max(col("sc")).as("best"))
-      .select(col("neighbor_id"), col("cv"), (-col("best.negcid")).as("cid"))
+    val cassign = assignToCentroids(c, centroids, nlist, coarseProbe)
     // nprobe nearest centroids per query (query side is small)
     // BoundedTopKAgg's sort key (first struct field) must be DOUBLE
     val qprobe = q.crossJoin(broadcast(centroids))
@@ -227,6 +241,62 @@ object Ann {
         round(cosine(col("qv"), col("cv")) * 1e6, 0).cast("long")
           .as("cosine_micro"))
     topKByCosine(scored, k)
+  }
+
+  /** Nearest-centroid assignment for `ivfTopK`: flat crossJoin when
+    * `coarseProbe = 0`, the two-level coarse->fine hierarchy otherwise
+    * (see ivfTopK scaladoc for the FLOP accounting). Both paths share
+    * the max(struct(cosine_micro, -cid)) reduction, so ties always
+    * break toward the smaller centroid id. Output: (neighbor_id, cv,
+    * cid).
+    */
+  private def assignToCentroids(c: DataFrame, centroids: DataFrame,
+                                nlist: Int, coarseProbe: Int): DataFrame = {
+    def bestOf(scoredCells: DataFrame): DataFrame = scoredCells
+      .select(col("neighbor_id"), col("cv"),
+        struct(round(cosine(col("cv"), col("centroid")) * 1e6, 0)
+          .cast("long").as("cm"), (-col("cid")).as("negcid")).as("sc"))
+      .groupBy("neighbor_id")
+      .agg(first(col("cv")).as("cv"), max(col("sc")).as("best"))
+      .select(col("neighbor_id"), col("cv"), (-col("best.negcid")).as("cid"))
+    if (coarseProbe <= 0) {
+      bestOf(c.crossJoin(broadcast(centroids)))
+    } else {
+      val ncoarse = math.max(1, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+      // rank the (tiny, <= nlist rows) centroid set in its md5 order;
+      // a single-partition window over nlist rows costs nothing and the
+      // first ncoarse ranks double as the coarse level
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(md5(col("cid").cast("string")), col("cid"))
+      val ranked = centroids.withColumn("rk", row_number().over(w))
+      val coarse = ranked.where(col("rk") <= ncoarse)
+        .select(col("cid").as("ccid"), col("centroid").as("ccentroid"))
+      // fine -> coarse cell map (nlist x sqrt(nlist) scoring — trivial)
+      val fineCells = ranked.select(col("cid"), col("centroid"))
+        .crossJoin(broadcast(coarse))
+        .select(col("cid"), col("centroid"),
+          struct(round(cosine(col("centroid"), col("ccentroid")) * 1e6, 0)
+            .cast("long").as("cm"), (-col("ccid")).as("negccid")).as("sc"))
+        .groupBy("cid")
+        .agg(first(col("centroid")).as("centroid"), max(col("sc")).as("best"))
+        .select(col("cid"), col("centroid"),
+          (-col("best.negccid")).as("ccid"))
+      // corpus -> top-coarseProbe coarse cells (bounded heap, no window
+      // on the big side), then score only the fine centroids there
+      val probed = c.crossJoin(broadcast(coarse))
+        .select(col("neighbor_id"), col("cv"), col("ccid"),
+          struct((-round(cosine(col("cv"), col("ccentroid")) * 1e6, 0))
+            .as("negcm"), col("ccid").as("pccid")).as("sc"))
+        .groupBy("neighbor_id")
+        .agg(first(col("cv")).as("cv"),
+          graft.functions.BoundedTopKAgg.topK(col("sc"), coarseProbe)
+            .as("cells"))
+        .select(col("neighbor_id"), col("cv"),
+          explode(col("cells")).as("cell"))
+        .select(col("neighbor_id"), col("cv"),
+          col("cell.pccid").as("ccid"))
+      bestOf(probed.join(broadcast(fineCells), "ccid"))
+    }
   }
 
   /** Embedding-cosine near-duplicate pairs over a corpus — the

@@ -120,6 +120,41 @@ class Round5Spec extends SparkSuite {
     assert(rows.forall(_.getLong(3) <= 5))
   }
 
+  test("two-level IVF: parity with flat at full probe, recall at two tiers") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val centers = Array.fill(30)(Array.fill(16)(rnd.nextGaussian()))
+    val vecs = (0 until 600).map { i =>
+      val c = centers(i % 30)
+      (i.toLong, c.map(v => (v + rnd.nextGaussian() * 0.15).toFloat))
+    }.toDF("vec_id", "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = vecs.where(col("vec_id") < 10)
+    def run(nlist: Int, coarseProbe: Int): Set[(Long, Long)] =
+      graft.ann.Ann.ivfTopK(vecs, q, 5, nlist = nlist, nprobe = 8,
+        coarseProbe = coarseProbe)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probing every coarse cell makes the hierarchy EXACTLY the flat
+    // assignment (same max-struct tie-break) — full result parity
+    for (nlist <- Seq(32, 128)) {
+      val ncoarse = math.ceil(math.sqrt(nlist.toDouble)).toInt
+      assert(run(nlist, 0) == run(nlist, ncoarse),
+        s"two-level(full probe) != flat at nlist=$nlist")
+    }
+    // recall vs brute force at two nlist tiers with a PARTIAL coarse
+    // probe (the actual scale configuration)
+    val exact = graft.ann.Ann.bruteForceTopK(vecs, q, 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (nlist <- Seq(32, 128)) {
+      val got = run(nlist, 4)
+      val recall = exact.count(got.contains).toDouble / exact.size
+      assert(recall >= 0.6, s"two-level IVF recall@5 = $recall at nlist=$nlist")
+    }
+    vecs.unpersist(false)
+  }
+
   test("vec_cosine malformed-input contract") {
     import spark.implicits._
     // zero-norm vector scores 0.0, not NaN
