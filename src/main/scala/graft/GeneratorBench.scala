@@ -51,9 +51,22 @@ object GeneratorBench {
                       density: Double, avgDegree: Double, layoutSecs: Double,
                       corrs: Map[String, Double], pValues: Map[String, Double])
 
-  /** One config end-to-end: generate -> embed -> 6-measure matrix. */
+  val Measures: Seq[String] = Seq("degree", "pagerank", "eigenvector",
+    "betweenness", "closeness", "load")
+
+  private def slug(s: String): String =
+    s.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+      .stripPrefix("_").stripSuffix("_")
+
+  /** One config end-to-end: generate -> embed -> 6-measure matrix.
+    * With `figuresDir` set, also renders the reference's two figures for
+    * the config (visualization.py:93-127 scatter facets; report_corr's
+    * rho + bootstrap-CI readout feeds the caller's [[graft.viz.Plots.ciFacets]]
+    * chart via the returned CI rows).
+    */
   def runConfig(spark: SparkSession, cfg: ConfigRow,
-                iterations: Int = 30): BenchRow = {
+                iterations: Int = 30,
+                figuresDir: Option[String] = None): (BenchRow, Seq[graft.viz.Plots.CiRow]) = {
     val e = cfg.edges(spark)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = Edges.vertices(e).count()
@@ -62,16 +75,27 @@ object GeneratorBench {
       "betweenness" -> PathCentralities.betweenness(spark, e),
       "closeness" -> PathCentralities.closeness(spark, e),
       "load" -> PathCentralities.load(spark, e))
-    val rep = CorrelationBench.run(spark, e, d = 3,
+    val (rep, perVertex) = CorrelationBench.runDetailed(spark, e, d = 3,
       layoutIters = iterations, extraCentralities = extras)
+    val ciRows = figuresDir.map { dir =>
+      graft.viz.Plots.scatterFacets(perVertex, "radius", Measures,
+        s"$dir/radial_vs_centrality_${slug(cfg.graphType)}.svg",
+        s"${cfg.graphType}: radial distance vs centrality (n=${rep.n}, m=${rep.m})")
+      // report_corr's bootstrap CI (visualization.py:29-45) per measure —
+      // driver-local over the 500-row frame, like the reference
+      Measures.map { m =>
+        val (rho, lo, hi) = CorrelationBench.bootstrapCI(perVertex, "radius", m)
+        graft.viz.Plots.CiRow(cfg.graphType, m, rho, lo, hi)
+      }
+    }.getOrElse(Nil)
     e.unpersist(false)
     // density / avg_degree exactly as the reference rows them
     // (run_benchmarks.py:155-162): m undirected edges over n vertices
     val density =
       if (rep.n > 1) 2.0 * rep.m / (rep.n.toDouble * (rep.n - 1)) else 0.0
-    BenchRow(cfg.graphType, rep.n, rep.m, density,
+    (BenchRow(cfg.graphType, rep.n, rep.m, density,
       2.0 * rep.m / math.max(1L, rep.n), rep.layoutSecs,
-      rep.correlations, rep.pValues)
+      rep.correlations, rep.pValues), ciRows)
   }
 
   def main(args: Array[String]): Unit = {
@@ -82,12 +106,22 @@ object GeneratorBench {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt)
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
-    val rows = configs.map { c =>
+    // figures on by default (SPARK_GRAFT_FIGURES=0 to skip): the SVG
+    // render is one extra agg + a <=2k-point collect per config
+    val figuresDir =
+      if (sys.env.getOrElse("SPARK_GRAFT_FIGURES", "1") == "0") None
+      else Some(s"$outDir/figures")
+    val all = configs.map { c =>
       System.err.println(s"[graft.GeneratorBench] ${c.graphType} ...")
-      runConfig(spark, c, iterations)
+      runConfig(spark, c, iterations, figuresDir)
     }
-    val measures = Seq("degree", "pagerank", "eigenvector",
-      "betweenness", "closeness", "load")
+    val rows = all.map(_._1)
+    figuresDir.foreach { dir =>
+      graft.viz.Plots.ciFacets(all.flatMap(_._2),
+        s"$dir/generator_correlations_ci.svg",
+        "Generator benchmarks: radius-centrality Spearman rho with 95% bootstrap CI")
+    }
+    val measures = Measures
     val df = rows.map { r =>
       (r.graphType, r.vertices, r.edgesN, r.density, r.avgDegree,
         r.layoutSecs,

@@ -94,14 +94,92 @@ object ScalingBench {
     (m, secs, m.toDouble * supersteps / secs, engineEps)
   }
 
+  /** Compute-bound control: brute-force cosine top-k (the exact-ANN
+    * operator) over a deterministic hash-generated corpus. Arithmetic
+    * intensity is ~25 FLOP/byte (|queries| fused-codegen cosines per
+    * streamed corpus row), so unlike the PageRank superstep (whose
+    * per-edge random gather saturates one socket's DRAM at ~290M eps —
+    * BASELINE.md r3 matrix) this kernel measures whether the ENGINE
+    * (scheduler, codegen, bounded-top-k partial agg) scales when the
+    * substrate isn't the binding resource — i.e. the cluster N -> 4N
+    * regime where each node brings its own memory channels.
+    * Throughput = scored pairs/sec; input identical at both levels.
+    */
+  private def runCosineAt(cores: Int, nCorpus: Long, nQueries: Int,
+                          d: Int): (Double, Double) = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    // deterministic vectors in [-1, 1]: hash(id, dim) — generation is a
+    // one-time cost excluded from the timed passes by the persist+count
+    val emb = transform(sequence(lit(0), lit(d - 1)),
+      j => (pmod(xxhash64(col("id"), j), lit(2001L)) - lit(1000L))
+        .cast("double") / 1000.0)
+    val corpus = spark.range(nCorpus).repartition(cores * 4)
+      .select(col("id").as("vec_id"), emb.as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    corpus.count()
+    val stride = math.max(1L, nCorpus / nQueries)
+    val queries = corpus.where(col("vec_id") % stride === 0L)
+      .limit(nQueries)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val nq = queries.count()
+    def onePass(): Double = {
+      val t0 = System.nanoTime()
+      graft.ann.Ann.bruteForceTopK(corpus, queries, 10)
+        .agg(count(lit(1))).head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    onePass() // warm-up
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    val walls = Seq.fill(nPasses)(onePass()).sorted
+    val secs = walls(walls.length / 2)
+    val pairsPerSec = nCorpus.toDouble * nq / secs
+    corpus.unpersist(false); queries.unpersist(false)
+    spark.stop()
+    System.err.println(f"[scaling] cores=$cores job=cosine " +
+      f"walls=${walls.map(w => f"$w%.1f").mkString(",")}")
+    (secs, pairsPerSec)
+  }
+
   /** No args: both levels in one JVM (quick look — NOTE the low-core
     * level then still enjoys the full machine for GC/codegen/shuffle
     * threads, understating true scaling). With args "nVerts cores":
     * one level only, meant to be run under `taskset -c` so the JVM
     * really owns only that many CPUs — the honest N-core-host protocol
-    * used for BASELINE.md.
+    * used for BASELINE.md. With args "cosine [cores]": the
+    * compute-bound ANN control at one level ("cosine" alone runs 8
+    * then 32 in one JVM — the prompt protocol local[8] vs local[32]).
     */
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("cosine")) {
+      val nCorpus = sys.env.getOrElse("SPARK_GRAFT_COSINE_CORPUS", "2000000").toLong
+      val nQueries = sys.env.getOrElse("SPARK_GRAFT_COSINE_QUERIES", "512").toInt
+      val d = sys.env.getOrElse("SPARK_GRAFT_COSINE_D", "64").toInt
+      if (args.length >= 2) {
+        val cores = args(1).toInt
+        val (s, pps) = runCosineAt(cores, nCorpus, nQueries, d)
+        println(s"""{"metric":"cosine_topk","cores":$cores,"corpus":$nCorpus,""" +
+          s""""queries":$nQueries,"d":$d,"secs":$s,"pairs_per_sec":$pps}""")
+      } else {
+        val (s8, pps8) = runCosineAt(8, nCorpus, nQueries, d)
+        val (s32, pps32) = runCosineAt(32, nCorpus, nQueries, d)
+        val eff = pps32 / (4.0 * pps8)
+        println(s"""{"metric":"cosine_scaling_efficiency","value":$eff,""" +
+          s""""corpus":$nCorpus,"queries":$nQueries,"d":$d,""" +
+          s""""local8":{"secs":$s8,"pairs_per_sec":$pps8},""" +
+          s""""local32":{"secs":$s32,"pairs_per_sec":$pps32}}""")
+      }
+      return
+    }
     val nVerts = args.headOption.map(_.toLong).getOrElse(2000000L)
     // avg degree 2*nVerts*p: default 40 at 2M vertices — a
     // Common-Crawl-ish out-degree, and enough parallel work per

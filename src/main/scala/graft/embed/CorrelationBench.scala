@@ -27,10 +27,28 @@ object CorrelationBench {
 
   def run(spark: SparkSession, edges: DataFrame,
           d: Int = 3, layoutIters: Int = 20,
-          layoutCfg: ForceLayout.Config = ForceLayout.Config(d = 3,
-        lMin = 10.0, kAttr = 0.5, kInter = 0.1, nNeighbors = 15,
-        sampleSize = 512),
-      extraCentralities: Map[String, DataFrame] = Map()): Report = {
+          layoutCfg: ForceLayout.Config = null,
+      extraCentralities: Map[String, DataFrame] = Map()): Report =
+    runDetailed(spark, edges, d, layoutIters, layoutCfg, extraCentralities)._1
+
+  /** Like [[run]] but also returns the per-vertex
+    * (id, radius, measure...) frame behind the correlations — the exact
+    * input the reference hands to plot_radial_vs_centrality
+    * (/root/reference/graphem/visualization.py:93-127); [[graft.viz.Plots]]
+    * renders it headlessly. The frame is small (one row per vertex) but
+    * still lazy — callers that unpersist `edges` must materialize (or
+    * plot) first.
+    */
+  def runDetailed(spark: SparkSession, edges: DataFrame,
+          d: Int = 3, layoutIters: Int = 20,
+          layoutCfg: ForceLayout.Config = null,
+      extraCentralities: Map[String, DataFrame] = Map()): (Report, DataFrame) = {
+    // benchmark.py:15-16 defaults; the config's dimension FOLLOWS the
+    // `d` argument unless an explicit config overrides it (a d=2 call
+    // with the old hardcoded d=3 default read past the position arrays)
+    val cfg = Option(layoutCfg).getOrElse(ForceLayout.Config(d = d,
+      lMin = 10.0, kAttr = 0.5, kInter = 0.1, nNeighbors = 15,
+      sampleSize = 512))
     val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val m = e.count()
     val n = Edges.vertices(e).count()
@@ -38,7 +56,7 @@ object CorrelationBench {
     val t0 = System.nanoTime()
     // layout-refinement path: 1e-6 gram stop (see SpectralInit scaladoc)
     val init = SpectralInit.run(spark, e, d, gramTol = 1e-6)
-    val pos = ForceLayout.run(spark, e, init, layoutIters, layoutCfg)
+    val pos = ForceLayout.run(spark, e, init, layoutIters, cfg)
     val layoutSecs = (System.nanoTime() - t0) / 1e9
 
     val radii = ForceLayout.radii(pos)
@@ -61,7 +79,7 @@ object CorrelationBench {
     val ps = corrs.map { case (mname, rho) =>
       mname -> graft.core.Stats.spearmanPValue(rho, n)
     }
-    Report(n, m, layoutSecs, corrs, ps)
+    (Report(n, m, layoutSecs, corrs, ps), joined)
   }
 
   /** Bootstrap two-sided p-value for a Spearman correlation: the
