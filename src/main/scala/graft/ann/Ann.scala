@@ -56,22 +56,35 @@ object Ann {
   }
 
   /** Exact top-k by cosine for each query row. `queries` must be small
-    * (broadcast). Deterministic tie-break on neighbor id.
+    * (they ride inside the aggregate, exactly the payload a broadcast
+    * would stage). Deterministic tie-break on neighbor id.
     * Output: (query_id, neighbor_id, cosine_micro, rank).
+    *
+    * Fused plan: one [[graft.functions.CosineTopKAgg]] pass — every
+    * corpus row advances all Q query heaps inside a single update(),
+    * instead of materializing |corpus| x Q candidate rows through a
+    * crossJoin (the row traffic, not the cosine flops, dominated that
+    * plan). Scoring/rounding/tie-break are bit-identical to the column
+    * formulation (parity-tested), so the DuckDB oracle is unchanged.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"),
-      asDouble(col(vecCol)).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
+    val qRows = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        asDouble(col(vecCol)).as("qv"))
+      .orderBy("query_id").collect()
+    val qids = qRows.map(_.getLong(0))
+    val qvecs = qRows.map(_.getSeq[Double](1).toArray)
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
       asDouble(col(vecCol)).as("cv"))
-    val scored = c.crossJoin(broadcast(q))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("cv")) * 1e6, 0).cast("long")
-          .as("cosine_micro"))
-    topKByCosine(scored, k)
+    c.agg(graft.functions.CosineTopK.topK(col("cv"), col("neighbor_id"),
+        qids, qvecs, k).as("all"))
+      .select(explode(col("all")).as("e"))
+      .select(col("e.query_id").as("query_id"), posexplode(col("e.nn")))
+      .select(col("query_id"), col("col.neighbor_id").as("neighbor_id"),
+        col("col.cosine_micro").as("cosine_micro"),
+        (col("pos") + 1).cast("long").as("rank"))
   }
 
   /** Signed-random-projection bucket id: `planes` sign bits packed into

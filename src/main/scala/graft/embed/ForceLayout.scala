@@ -42,6 +42,10 @@ object ForceLayout {
       kInter: Double = 0.5,
       nNeighbors: Int = 10,
       sampleSize: Int = 256,
+      // V-row state frames are broadcast-joined against the E-row edge
+      // table at or below this vertex count (~24 MB at d=2); above it
+      // the shuffle join is the right plan and engages unchanged
+      broadcastVertices: Long = 1000000L,
       checkpoint: Option[CheckpointManager] = None,
       checkpointInterval: Int = 5,
       // caller-pluggable per-iteration progress callback — the engine's
@@ -90,11 +94,22 @@ object ForceLayout {
     var pos = graft.core.Lineage.truncate(startPos)
     var iter = startIter
     val runT0 = System.nanoTime()
+    // V-row state frames (pos, per-vertex forces) are broadcast-joined
+    // below this vertex count: at test scale the E-row gather would
+    // otherwise SHUFFLE the edge table twice per iteration against a
+    // 1k-row state frame (the truncated state carries no stats, so the
+    // planner can't see it's tiny). Above the threshold the shuffle
+    // join is the correct plan and engages unchanged — same gate
+    // pattern as SpectralInit's local path.
+    val vCount = positions.count()
+    val broadcastState = vCount <= cfg.broadcastVertices
+    def stateSide(df: DataFrame): DataFrame =
+      if (broadcastState) broadcast(df) else df
     while (iter < iterations) {
       // gather endpoint positions
       val ep = eidEdges
-        .join(pos.select(col("id").as("src"), col("pos").as("p1")), "src")
-        .join(pos.select(col("id").as("dst"), col("pos").as("p2")), "dst")
+        .join(stateSide(pos.select(col("id").as("src"), col("pos").as("p1"))), "src")
+        .join(stateSide(pos.select(col("id").as("dst"), col("pos").as("p2"))), "dst")
         .persist(StorageLevel.MEMORY_AND_DISK)
 
       // spring forces (2 rows per edge)
@@ -125,39 +140,37 @@ object ForceLayout {
           col("ip1"), col("ip2"),
           zip_with(col("ip1"), col("ip2"), (a, b) => (a + b) * 0.5).as("imid"))
 
-      // kNN: broadcast sampled against all midpoints; per-query bounded
-      // top-(k+1) via the BoundedTopKAgg TypedImperativeAggregate. The
-      // aggregate gets map-side PARTIAL aggregation, so the shuffle
-      // carries at most partitions x sample x (k+1) candidate rows — a
-      // row_number window here would shuffle ALL E x sample pairs into
-      // at most `sample` reducer keys (a hard parallelism ceiling at
-      // web scale).
+      // kNN: fused multi-query bounded top-(k+1) — every E-row midpoint
+      // updates ALL `sample` heaps inside ONE SampleKnnAgg update()
+      // (squared-distance arithmetic and (d2, j_eid) comparator
+      // bit-identical to the crossJoin + per-query BoundedTopKAgg plan
+      // this replaces, which materialized E x sample candidate rows per
+      // iteration — the row traffic, not the flops, dominated the
+      // superstep). The shuffle carries one sample x (k+1) partial per
+      // input partition; a row_number window here would shuffle ALL
+      // E x sample pairs into at most `sample` reducer keys (a hard
+      // parallelism ceiling at web scale).
       //
-      // Two fan-out-stage rules learned the hard way at E x 512 rows:
-      //  - the distance is per-dimension element_at arithmetic, NOT an
-      //    aggregate/zip_with fold — higher-order functions are
-      //    CodegenFallback and would run interpreted on every pair;
-      //  - mids is explicitly repartitioned first: AQE coalesces the
-      //    (tiny) E-row shuffle into ~1 partition, and the x512 blowup
-      //    happens AFTER coalescing — one task would compute the whole
-      //    cross product.
-      val sqdist = (0 until d).map { j =>
-        val diff = element_at(col("imid"), j + 1) - element_at(col("mid"), j + 1)
-        diff * diff
-      }.reduce(_ + _)
-      val sampledT = graft.core.Lineage.truncate(sampled) // tiny; used twice
+      // The collect stages the same sample x d block on the driver that
+      // a broadcast would have staged (~8 KB at the defaults), sorted by
+      // i_eid for a deterministic query order; re-wrapping the collected
+      // rows as a LocalRelation makes the sample's re-join below a free
+      // broadcast (no per-iteration eager-checkpoint job for the sample,
+      // which an earlier revision paid). mids is still explicitly
+      // repartitioned first: AQE coalesces the (tiny at test scale)
+      // E-row shuffle into ~1 partition, which would serialize the
+      // per-partition partial aggregation.
       val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
-      // the heap carries ONLY (d2, j_eid): the E x sample stream then
-      // builds 16-byte candidates instead of structs dragging the two
-      // position arrays + endpoints through every insert and the
-      // partial/final shuffle — the winners' payload (sample x k rows)
-      // is joined back from the cached mids afterwards, for free
-      val cand = struct(sqdist.as("d2"), col("eid").as("j_eid"))
-      val topk = mids.repartition(p).crossJoin(broadcast(sampledT))
-        .select(col("i_eid"), cand.as("cand"))
-        .groupBy(col("i_eid"))
-        .agg(graft.functions.BoundedTopKAgg.topK(col("cand"), cfg.nNeighbors + 1)
-          .as("nn"))
+      val sampleRows = sampled.orderBy(col("i_eid")).collect()
+      val qids = sampleRows.map(_.getLong(0))
+      val qvecs = sampleRows.map(_.getSeq[Double](5).toArray)
+      val sampledT = spark.createDataFrame(
+        java.util.Arrays.asList(sampleRows: _*), sampled.schema)
+      val topk = mids.select(col("eid"), col("mid")).repartition(p)
+        .agg(graft.functions.SampleKnn.knn(col("mid"), col("eid"),
+          qids, qvecs, cfg.nNeighbors + 1).as("all"))
+        .select(explode(col("all")).as("e"))
+        .select(col("e.i_eid").as("i_eid"), col("e.nn").as("nn"))
       // element 0 is the nearest midpoint (self at d2=0, or an exactly
       // coincident midpoint with a smaller eid — same drop rule as the
       // old rn=1 filter); keep elements 1..k
@@ -179,10 +192,7 @@ object ForceLayout {
       def oy(p: String): Column = element_at(col(p), 2)
       def orient(a: String, b: String, c: String): Column =
         (ox(b) - ox(a)) * (oy(c) - oy(a)) - (oy(b) - oy(a)) * (ox(c) - ox(a))
-      // MATERIALIZED: inter is tiny (<= sample x k pairs) but feeds FOUR
-      // union branches below — without truncation each branch would
-      // re-execute the whole E x sample kNN pipeline upstream of it
-      val inter = graft.core.Lineage.truncate(valid
+      val inter = (valid
         .withColumn("o1", orient("ip1", "ip2", "jp1"))
         .withColumn("o2", orient("ip1", "ip2", "jp2"))
         .withColumn("o3", orient("jp1", "jp2", "ip1"))
@@ -199,11 +209,16 @@ object ForceLayout {
         transform(zip_with(vpos, col("imid4"), (a, b) => a - b),
           x => lit(cfg.kInter) * x / (dcol * dcol))
       }
-      val interRows = Seq(
+      // one explode pass instead of a 4-branch union: each intersecting
+      // pair emits its 4 endpoint forces in a single traversal, so the
+      // kNN pipeline upstream executes ONCE without `inter` needing its
+      // own materialization job (the union formulation re-read it 4x)
+      val interRows = inter.select(explode(array(Seq(
         ("i_src", "ip1"), ("i_dst", "ip2"), ("j_src", "jp1"), ("j_dst", "jp2"))
         .map { case (idc, pc) =>
-          inter.select(col(idc).as("id"), repulse(col(idc), col(pc)).as("f"))
-        }.reduce(_ union _)
+          struct(col(idc).as("id"), repulse(col(idc), col(pc)).as("f"))
+        }: _*)).as("e"))
+        .select(col("e.id").as("id"), col("e.f").as("f"))
 
       // scatter: sum forces per vertex per dimension
       val allRows = springRows.union(interRows)
@@ -234,8 +249,6 @@ object ForceLayout {
       }
       ep.unpersist(false)
       mids.unpersist(false)
-      graft.core.Lineage.release(sampledT)
-      graft.core.Lineage.release(inter)
       graft.core.Lineage.release(pos) // next is materialized; old state is dead
       pos = next
       cfg.progress.foreach(_(iter, Map(

@@ -82,6 +82,26 @@ object VecCosine {
     if (denom == 0.0) 0.0 else dot / denom
   }
 
+  /** Same kernel with the query side pre-collected to a JVM array
+    * (the fused multi-query aggregates) — identical fold order and
+    * malformed-input contract as the ArrayData overload.
+    */
+  def cosine(a: Array[Double], b: ArrayData): Double = {
+    val d = a.length
+    if (b.numElements() != d)
+      throw new IllegalArgumentException(
+        s"vec_cosine: dimension mismatch ($d vs ${b.numElements()})")
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var j = 0
+    while (j < d) {
+      val x = a(j); val y = b.getDouble(j)
+      dot += x * y; na += x * x; nb += y * y
+      j += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
   /** Column API. */
   def apply(a: Column, b: Column): Column =
     Bridge.column(VecCosineExpr(Bridge.expression(a), Bridge.expression(b)))
