@@ -174,7 +174,7 @@ object PageRank {
       val msgs = nbrs.join(ranks, Seq("id"))
         .select(col("nbr").as("mid"), (col("rank") / col("deg")).as("c"))
       val sumExpr =
-        if (portableSum) graft.core.PortableSum.fixedSum(col("c"), 1e15)
+        if (portableSum) graft.core.PortableSum.fixedSumLong(col("c"), 1e15)
         else sum(col("c"))
       val gathered = msgs.groupBy(col("mid")).agg(sumExpr.as("s"))
       ranks = ranks.join(gathered, ranks("id") === gathered("mid"), "left")

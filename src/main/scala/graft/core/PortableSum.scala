@@ -35,11 +35,36 @@ object PortableSum {
 
   /** sum(x) with addends quantized at 1/scale. Null-skipping like sum;
     * returns null on an empty/all-null group (callers coalesce).
+    *
+    * The quantization runs through [[graft.functions.PortableRound]] —
+    * bit-identical to `round(x*scale, 0)` (and therefore to the DuckDB
+    * mirror) without Spark Round's per-row BigDecimal boxing.
     */
   def fixedSum(x: Column, scale: Double): Column =
-    sum(round(x * lit(scale), 0).cast("decimal(38,0)")).cast("double") / lit(scale)
+    sum(graft.functions.PortableRound(x, scale).cast("decimal(38,0)"))
+      .cast("double") / lit(scale)
 
-  /** The DuckDB mirror of [[fixedSum]] — identical arithmetic shape. */
+  /** [[fixedSum]] with a native LONG accumulator instead of
+    * decimal(38,0) — ~2x faster aggregation, usable ONLY where the
+    * caller can bound the per-group quantized sum under 2^53 (so the
+    * long sum cannot overflow — ANSI mode would error hard — AND the
+    * final double cast is exact, keeping the DuckDB HUGEINT-summed
+    * mirror bit-identical). PageRank qualifies: gather addends are
+    * rank/deg with Sigma rank = 1, so each group's sum is <= scale * 1
+    * plus <= 0.5 * deg quantization slop — <= ~1.000001e15 at scale
+    * 1e15 even for a 10^9-degree hub. Betweenness deltas and the
+    * relational price sums do NOT qualify (group sums unbounded);
+    * they stay on the decimal accumulator.
+    */
+  def fixedSumLong(x: Column, scale: Double): Column =
+    sum(graft.functions.PortableRound(x, scale).cast("long"))
+      .cast("double") / lit(scale)
+
+  /** The DuckDB mirror of [[fixedSum]] — identical arithmetic shape.
+    * Also mirrors [[fixedSumLong]]: DuckDB sums BIGINT into HUGEINT
+    * (exact, like DECIMAL(38,0)), and under the fixedSumLong bound the
+    * double cast of either is exact.
+    */
   def fixedSumSql(x: String, scale: String): String =
     s"CAST(sum(CAST(round($x * $scale, 0) AS DECIMAL(38,0))) AS DOUBLE) / $scale"
 }

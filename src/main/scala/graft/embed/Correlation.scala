@@ -109,9 +109,30 @@ object Correlation {
   /** (rho, usedLocalPath) — threshold injectable for the routing test. */
   private[graft] def spearmanVia(df: DataFrame, a: String, b: String,
                                  threshold: Int = LocalThreshold): (Double, Boolean) =
-    if (threshold > 0 && df.limit(threshold + 1).count() <= threshold)
-      (spearmanLocal(collectPairs(df, a, b)), true)
-    else (spearmanDistributed(df, a, b), false)
+    probePairs(df, a, b, threshold) match {
+      case Some(pairs) => (spearmanLocal(pairs), true)
+      case None => (spearmanDistributed(df, a, b), false)
+    }
+
+  /** SINGLE-execution local-path gate: collect up to threshold+1
+    * projected (a, b) pairs and decide from their count. The previous
+    * gate ran `limit().count()` and then a separate full collect — two
+    * executions of the entire upstream pipeline (for q_spearman_deg_pr
+    * that pipeline is a 5-superstep PageRank, so the gate itself cost
+    * more than the correlation). Above the threshold the wasted work is
+    * bounded by threshold+1 rows of two doubles (~32 MB), paid once,
+    * before the distributed plan runs.
+    */
+  private def probePairs(df: DataFrame, a: String, b: String,
+                         threshold: Int): Option[Array[(Double, Double)]] =
+    if (threshold <= 0) None
+    else {
+      val rows = df.select(col(a).cast("double"), col(b).cast("double"))
+        .limit(threshold + 1).collect()
+      if (rows.length <= threshold)
+        Some(rows.map(r => (r.getDouble(0), r.getDouble(1))))
+      else None
+    }
 
   private def spearmanDistributed(df: DataFrame, a: String, b: String): Double = {
     val withBoth = avgRanksBoth(df, a, b)
@@ -129,19 +150,21 @@ object Correlation {
                  threshold: Int = LocalThreshold): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    if (threshold > 0 && df.limit(threshold + 1).count() <= threshold)
-      Seq(spearmanLocal(collectPairs(df, a, b))).toDF("_rho")
-        .select(round(col("_rho") * 1e6, 0).cast("long").as(outName))
-    else {
-      val withBoth = avgRanksBoth(df, a, b)
-      withBoth.agg(round(pearson(col("_ra"), col("_rb")) * 1e6, 0)
-        .cast("long").as(outName))
+    probePairs(df, a, b, threshold) match {
+      case Some(pairs) =>
+        Seq(spearmanLocal(pairs)).toDF("_rho")
+          .select(round(col("_rho") * 1e6, 0).cast("long").as(outName))
+      case None =>
+        spearmanDfDistributed(df, a, b, outName)
     }
   }
 
-  private def collectPairs(df: DataFrame, a: String, b: String): Array[(Double, Double)] =
-    df.select(col(a).cast("double"), col(b).cast("double"))
-      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+  private def spearmanDfDistributed(df: DataFrame, a: String, b: String,
+                                    outName: String): DataFrame = {
+    val withBoth = avgRanksBoth(df, a, b)
+    withBoth.agg(round(pearson(col("_ra"), col("_rb")) * 1e6, 0)
+      .cast("long").as(outName))
+  }
 
   /** Driver-local Spearman over collected pairs: identical rank
     * convention (#smaller + (#equal+1)/2) and the same two-pass Pearson

@@ -168,4 +168,54 @@ class Round5Spec extends SparkSuite {
     assert(ex.toString.contains("dimension mismatch") ||
       ex.getCause != null && ex.getCause.toString.contains("dimension mismatch"))
   }
+
+  test("portable_round == Spark round(x*scale, 0) on adversarial doubles") {
+    import spark.implicits._
+    // the exact arithmetic Spark's Round applies to DoubleType
+    def sparkRound(v: Double): Double =
+      scala.math.BigDecimal.decimal(v)
+        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rnd = new scala.util.Random(11)
+    val adversarial: Seq[Double] =
+      // exact .5 ties, both signs, small and 2^52..2^53 magnitudes
+      (0 until 2000).map(_ => rnd.nextLong() % (1L << 51) + 0.5) ++
+      (0 until 2000).map(_ => -(rnd.nextLong() % (1L << 51) + 0.5)) ++
+      (0 until 2000).map(_ => 4.5e15 + rnd.nextInt(1 << 30) + 0.5) ++
+      // largest double below 0.5: the classic floor(v+0.5) bug trap
+      Seq(0.49999999999999994, -0.49999999999999994, 0.5, -0.5, 1.5, -1.5,
+        2.5, -2.5, 0.0, -0.0, 1e16, -1e16, 9.007199254740991e15) ++
+      (0 until 20000).map(_ => (rnd.nextDouble() - 0.5) * 2e16) ++
+      (0 until 20000).map(_ => (rnd.nextDouble() - 0.5) * 1e3)
+    adversarial.foreach { v =>
+      assert(java.lang.Double.compare(
+        graft.functions.PortableRound.halfUp(v), sparkRound(v)) == 0 ||
+        graft.functions.PortableRound.halfUp(v) == sparkRound(v),
+        s"halfUp($v) = ${graft.functions.PortableRound.halfUp(v)} " +
+          s"!= ${sparkRound(v)}")
+    }
+    // through codegen: expression result equals Spark's round() column
+    val df = (0 until 50000).map(_ => (rnd.nextDouble() - 0.5) * 2.0)
+      .toDF("x").repartition(7)
+    val mismatches = df.select(
+        graft.functions.PortableRound(col("x"), 1e15).as("a"),
+        round(col("x") * lit(1e15), 0).as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(mismatches == 0)
+  }
+
+  test("fixedSumLong == fixedSum (decimal) on a PageRank-shaped gather") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // rank/deg addends grouped by destination, like the PR gather
+    val rows = (0 until 60000).map { _ =>
+      (rnd.nextInt(500).toLong, rnd.nextDouble() / (1 + rnd.nextInt(40)))
+    }
+    val df = rows.toDF("mid", "c").repartition(13)
+    val a = df.groupBy("mid")
+      .agg(graft.core.PortableSum.fixedSum(col("c"), 1e15).as("s"))
+    val b = df.groupBy("mid")
+      .agg(graft.core.PortableSum.fixedSumLong(col("c"), 1e15).as("s"))
+    assert(a.join(b, "mid").where(a("s") =!= b("s")).count() == 0)
+    assert(a.count() == 500)
+  }
 }
