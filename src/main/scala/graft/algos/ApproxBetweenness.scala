@@ -44,12 +44,21 @@ object ApproxBetweenness {
     * bounded by ~n), making the result bit-identical to the DuckDB
     * mirror; sigma sums stay native — path counts are integers, exact
     * in double under any order.
+    *
+    * Below `localNbrRowCap` neighbor rows (= 2E) the whole estimator
+    * runs driver-locally ([[PathCentralitySmall.betweennessLocal]]):
+    * the two level-synchronous join loops cost ~6 tiny jobs per BFS
+    * level in scheduling overhead on benchmark-scale graphs. The local
+    * twin replicates the portable quantization points exactly, so on
+    * the portable path the two routes are BIT-IDENTICAL (parity test);
+    * the distributed plan engages above the cap (routing test).
     */
   def run(spark: SparkSession, edges: DataFrame, k: Int,
           seed: Long = 42, maxLevels: Int = 128,
           normalized: Boolean = true,
           explicitSources: Option[DataFrame] = None,
-          portableSum: Boolean = false): DataFrame = {
+          portableSum: Boolean = false,
+          localNbrRowCap: Long = ApproxCloseness.LocalNbrRowThreshold): DataFrame = {
     def sumD(c: org.apache.spark.sql.Column) =
       if (portableSum) graft.core.PortableSum.fixedSum(c, 1e12) else sum(c)
     val nbrs = Edges.neighbors(edges).persist(StorageLevel.MEMORY_AND_DISK)
@@ -60,6 +69,17 @@ object ApproxBetweenness {
       verts.orderBy(xxhash64(col("id"), lit(seed)), col("id"))
         .limit(math.min(k.toLong, n).toInt).select(col("id").as("s"))))
     val kEff = sources.count()
+
+    if (nbrs.count() <= localNbrRowCap) {
+      val out = PathCentralitySmall.betweennessLocal(
+        spark, ApproxCloseness.collectAdj(nbrs),
+        ApproxCloseness.collectSources(sources), n, kEff, maxLevels,
+        normalized, portableSum)
+      graft.core.Lineage.release(sources)
+      nbrs.unpersist(false)
+      verts.unpersist(false)
+      return out
+    }
 
     // ---- forward: (s, id, dist, sigma), one frame per level ----------
     var levels = List(graft.core.Lineage.truncate(

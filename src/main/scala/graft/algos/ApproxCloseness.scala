@@ -45,13 +45,27 @@ import graft.graph.Edges
   */
 object ApproxCloseness {
 
+  /** Below this many neighbor rows (= 2E) the whole estimator runs
+    * driver-locally: the level-synchronous loop costs ~4 tiny jobs per
+    * BFS level in pure scheduling overhead on benchmark-scale graphs,
+    * while a 1M-edge adjacency collects in ~30 MB and k BFS passes run
+    * in milliseconds. Same gated-local-path pattern as SpectralInit and
+    * Correlation.spearman: the distributed plan — the one that matters
+    * at 100 TB — engages above the threshold, and the two paths are
+    * BIT-IDENTICAL (the estimator is a long distance-sum plus a fixed
+    * double expression, both order-independent), which the parity test
+    * asserts with exact equality.
+    */
+  private[graft] val LocalNbrRowThreshold = 2000000L
+
   /** `explicitSources`: caller-chosen source vertex set (one `s`
     * column) overriding the hash sample — used by the SQL-mirrored
     * driver query, whose oracle cannot reproduce xxhash64.
     */
   def run(spark: SparkSession, edges: DataFrame, k: Int,
           seed: Long = 42, maxLevels: Int = 128,
-          explicitSources: Option[DataFrame] = None): DataFrame = {
+          explicitSources: Option[DataFrame] = None,
+          localNbrRowCap: Long = LocalNbrRowThreshold): DataFrame = {
     val nbrs = Edges.neighbors(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val verts = Edges.vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val n = verts.count()
@@ -61,6 +75,15 @@ object ApproxCloseness {
       verts.orderBy(xxhash64(col("id"), lit(seed)), col("id"))
         .limit(math.min(k.toLong, n).toInt).select(col("id").as("s"))))
     val kEff = sources.count()
+
+    if (nbrs.count() <= localNbrRowCap) {
+      val out = PathCentralitySmall.closenessLocal(
+        spark, collectAdj(nbrs), collectSources(sources), n, kEff, maxLevels)
+      graft.core.Lineage.release(sources)
+      nbrs.unpersist(false)
+      verts.unpersist(false)
+      return out
+    }
 
     var dist = graft.core.Lineage.truncate(
       sources.select(col("s"), col("s").as("id"), lit(0L).as("dist")))
@@ -108,4 +131,10 @@ object ApproxCloseness {
     verts.unpersist(false)
     out
   }
+
+  private[algos] def collectAdj(nbrs: DataFrame): Array[(Long, Long)] =
+    nbrs.collect().map(r => (r.getLong(0), r.getLong(1)))
+
+  private[algos] def collectSources(sources: DataFrame): Array[Long] =
+    sources.collect().map(_.getLong(0))
 }

@@ -128,7 +128,8 @@ class Round4Spec extends SparkSuite {
       val n = graft.graph.Edges.vertices(e).count().toInt
       val exact = graft.algos.PathCentralities.closeness(spark, e)
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-      val approx = graft.algos.ApproxCloseness.run(spark, e, k = n)
+      val approx = graft.algos.ApproxCloseness.run(spark, e, k = n,
+          localNbrRowCap = 0) // distributed-path proof
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
       assert(approx.keySet == exact.keySet)
       approx.foreach { case (id, v) =>
@@ -159,7 +160,8 @@ class Round4Spec extends SparkSuite {
       val n = graft.graph.Edges.vertices(e).count().toInt
       val exact = graft.algos.PathCentralities.betweenness(spark, e)
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-      val approx = graft.algos.ApproxBetweenness.run(spark, e, k = n)
+      val approx = graft.algos.ApproxBetweenness.run(spark, e, k = n,
+          localNbrRowCap = 0) // distributed-path proof
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
       assert(approx.keySet == exact.keySet)
       approx.foreach { case (id, v) =>

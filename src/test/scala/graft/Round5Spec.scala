@@ -50,7 +50,7 @@ class Round5Spec extends SparkSuite {
       val exact = graft.algos.PathCentralities.betweenness(spark, e)
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
       val approx = graft.algos.ApproxBetweenness.run(spark, e, k = n,
-        portableSum = true)
+        portableSum = true, localNbrRowCap = 0) // distributed-path proof
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
       approx.foreach { case (id, v) =>
         assert(math.abs(v - exact(id)) < 1e-9, s"v$id: $v vs ${exact(id)}")
@@ -67,7 +67,7 @@ class Round5Spec extends SparkSuite {
     val srcs = Seq(0L).toDF("s")
     val before = spark.sparkContext.getPersistentRDDs.size
     val out = graft.algos.ApproxBetweenness.run(spark, e, k = 1,
-      explicitSources = Some(srcs))
+      explicitSources = Some(srcs), localNbrRowCap = 0) // distributed edge path
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(out.values.forall(_ == 0.0), out.toString)
     // the one-level BFS path releases everything it truncated
@@ -217,5 +217,47 @@ class Round5Spec extends SparkSuite {
       .agg(graft.core.PortableSum.fixedSumLong(col("c"), 1e15).as("s"))
     assert(a.join(b, "mid").where(a("s") =!= b("s")).count() == 0)
     assert(a.count() == 500)
+  }
+
+  test("path-centrality local gate: bit-identical to distributed, routed") {
+    import spark.implicits._
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.getClass.getSimpleName
+    // a connected BA graph AND a disconnected fixture (exercises the
+    // reaching-source branch of the closeness estimator)
+    for (e <- Seq(graft.generators.Generators.ba(spark, 250, 3, 31),
+                  edgesOf(TwoPaths))) {
+      val srcs = graft.graph.Edges.vertices(e).where(col("id") % 3 === 0)
+        .select(col("id").as("s"))
+      // closeness: long sums + a fixed double expression — the two
+      // paths must agree EXACTLY
+      val cLocal = graft.algos.ApproxCloseness.run(spark, e, k = 8,
+        explicitSources = Some(srcs))
+      val cDist = graft.algos.ApproxCloseness.run(spark, e, k = 8,
+        explicitSources = Some(srcs), localNbrRowCap = 0)
+      assert(planOf(cLocal).contains("LocalRelation"), planOf(cLocal))
+      assert(!planOf(cDist).contains("LocalRelation"), planOf(cDist))
+      val (cl, cd) = (asMap(cLocal), asMap(cDist))
+      assert(cl.keySet == cd.keySet)
+      cl.foreach { case (id, v) => assert(v == cd(id), s"closeness v$id: $v vs ${cd(id)}") }
+      // betweenness, portable path: quantized sums are order-independent,
+      // so local and distributed must agree EXACTLY too
+      val bLocal = graft.algos.ApproxBetweenness.run(spark, e, k = 8,
+        explicitSources = Some(srcs), portableSum = true)
+      val bDist = graft.algos.ApproxBetweenness.run(spark, e, k = 8,
+        explicitSources = Some(srcs), portableSum = true, localNbrRowCap = 0)
+      assert(planOf(bLocal).contains("LocalRelation"), planOf(bLocal))
+      val (bl, bd) = (asMap(bLocal), asMap(bDist))
+      assert(bl.keySet == bd.keySet)
+      bl.foreach { case (id, v) => assert(v == bd(id), s"betweenness v$id: $v vs ${bd(id)}") }
+      // native-double path: same semantics, last-ULP summation freedom
+      val nLocal = asMap(graft.algos.ApproxBetweenness.run(spark, e, k = 8,
+        explicitSources = Some(srcs)))
+      nLocal.foreach { case (id, v) =>
+        assert(math.abs(v - bd(id)) < 1e-9, s"v$id: $v vs ${bd(id)}")
+      }
+    }
   }
 }
