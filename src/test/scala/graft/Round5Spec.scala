@@ -65,14 +65,29 @@ class Round5Spec extends SparkSuite {
     // a single-edge graph (n = 2) — normalized nx applies NO rescale
     val e = edgesOf(Seq((0L, 1L)))
     val srcs = Seq(0L).toDF("s")
-    val before = spark.sparkContext.getPersistentRDDs.size
-    val out = graft.algos.ApproxBetweenness.run(spark, e, k = 1,
-      explicitSources = Some(srcs), localNbrRowCap = 0) // distributed edge path
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    assert(out.values.forall(_ == 0.0), out.toString)
-    // the one-level BFS path releases everything it truncated
-    val after = spark.sparkContext.getPersistentRDDs.size
-    assert(after <= before, s"persistent RDD leak: $before -> $after")
+    // The leak check diffs the persistent-RDD ID SET, but suites run in
+    // parallel in one shared SparkContext, so another suite may persist
+    // an RDD during our window — a REAL leak reproduces on every
+    // attempt (+1 each time), concurrent churn does not, hence retry.
+    def leakFreeAttempt(): Boolean = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val df = graft.algos.ApproxBetweenness.run(spark, e, k = 1,
+        explicitSources = Some(srcs), localNbrRowCap = 0) // distributed edge path
+      val out = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(out.values.forall(_ == 0.0), out.toString)
+      // the contract: nothing survives except the RETURNED truncated
+      // frame (released here); unpersist is async — poll briefly
+      graft.core.Lineage.release(df)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+      while (leaked.nonEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+      }
+      leaked.isEmpty
+    }
+    assert((1 to 3).exists(_ => leakFreeAttempt()),
+      "persistent RDD leak on every attempt")
   }
 
   test("spearman local-path gate: routed small, distributed above, same rho") {
