@@ -47,8 +47,12 @@ object Bench {
     }
     onePass() // warm-up (untimed)
     val passes = (1 to math.max(1, reps)).map(_ => onePass())
-    val iters = passes.head._1 // deterministic: identical across passes
-    val secs = median(passes.map(_._2))
+    // report the MEDIAN PASS's own (iterations, secs) pair: the tol
+    // check runs on order-dependent double sums, so a residual a few
+    // ULPs from tol can legitimately converge in i vs i+1 iterations
+    // across passes — pairing one pass's count with another's wall
+    // would skew eps by a superstep
+    val (iters, secs) = passes.sortBy(_._2).apply((passes.length - 1) / 2)
     e.unpersist(false)
     (m, iters, secs, m.toDouble * iters / secs)
   }

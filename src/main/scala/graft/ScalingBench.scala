@@ -12,6 +12,15 @@ import org.apache.spark.sql.SparkSession
   */
 object ScalingBench {
 
+  /** Same statistic as Bench.median: mean of the two middles when the
+    * pass count is even (walls(n/2) alone would be the SLOWER middle,
+    * biasing the efficiency ratio whenever the two levels have
+    * different variance). Input must be sorted.
+    */
+  private def median(sorted: Seq[Double]): Double =
+    if (sorted.length % 2 == 1) sorted(sorted.length / 2)
+    else (sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)) / 2.0
+
   /** Fixed-superstep PageRank on a deterministic ~20M-edge ER graph —
     * large enough to be compute-bound on 32 cores, identical input at
     * both parallelism levels (hash-derived, partition-independent).
@@ -84,8 +93,8 @@ object ScalingBench {
     val passes = Seq.fill(nPasses)(onePass())
     val walls = passes.map(_._1).sorted
     val epss = passes.map(_._2).sorted
-    val secs = walls(walls.length / 2)
-    val engineEps = epss(epss.length / 2)
+    val secs = median(walls)
+    val engineEps = median(epss)
     zipIndex.foreach(_.release())
     spark.stop()
     System.err.println(f"[scaling] cores=$cores engine=$engine " +
@@ -141,7 +150,7 @@ object ScalingBench {
     onePass() // warm-up
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     val walls = Seq.fill(nPasses)(onePass()).sorted
-    val secs = walls(walls.length / 2)
+    val secs = ScalingBench.median(walls)
     val pairsPerSec = nCorpus.toDouble * nq / secs
     corpus.unpersist(false); queries.unpersist(false)
     spark.stop()

@@ -238,8 +238,15 @@ object SparkEntry {
       val e = edges(s, dir)
       val srcs = Edges.vertices(e).where(col("id") < 8)
         .select(col("id").as("s"))
+      // maxLevels is pinned to the mirror's unrolled level count so the
+      // two sides truncate IDENTICALLY at any input depth: a BFS level
+      // beyond the unroll would otherwise be silently dropped by the
+      // SQL (no s7 CTE) while the engine kept accumulating through it.
+      // Both truncations agree structurally — the deepest computed
+      // level keeps delta = 0 and deeper vertices appear in neither.
       graft.algos.ApproxBetweenness.run(s, e, k = 8,
-        explicitSources = Some(srcs), portableSum = true)
+        explicitSources = Some(srcs), portableSum = true,
+        maxLevels = BetweennessOracleLevels)
         .select(col("id"),
           round(col("betweenness") * 1e9, 0).cast("long")
             .as("betweenness_nano"))
@@ -578,8 +585,16 @@ object SparkEntry {
     * PortableSum fixed-point shape at scale 1e12, bit-matching
     * ApproxBetweenness(portableSum = true).
     */
+  /** Unrolled BFS depth of the q_betweenness mirror — the Spark query
+    * passes the same value as maxLevels (see the queries entry): max
+    * observed depth from the id < 8 sources is 4, so 6 gives margin
+    * while keeping the DuckDB plan tractable (each extra level inflates
+    * the CTE-inlined plan multiplicatively).
+    */
+  private val BetweennessOracleLevels = 6
+
   private def betweennessOracle: Map[String, String] = {
-    val maxL = 6
+    val maxL = BetweennessOracleLevels
     val sigmas = (1 to maxL).map { k =>
       s"""s$k AS (SELECT sp.s, sp.id, sum(p.sigma) AS sigma
          |  FROM sp JOIN nbrs n ON n.id = sp.id
@@ -814,17 +829,28 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
   )
 
+  /** Cosine in integer micro-units, mirroring VecCosine's zero-norm
+    * contract: a zero-norm vector scores 0 against everything (the
+    * unguarded DuckDB form divides 0/0 there and diverges from the
+    * engine — latent only, no zero vector exists in the driver data,
+    * but the mirror should encode the same semantics).
+    */
+  private def cosineMicroSql(a: String, b: String): String =
+    s"""CAST(round(CASE WHEN list_dot_product($a, $a) = 0
+       |    OR list_dot_product($b, $b) = 0 THEN 0.0
+       |  ELSE list_dot_product($a, $b)
+       |    / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))
+       |  END * 1e6, 0) AS BIGINT)""".stripMargin
+
   private def annOracles: Map[String, String] = Map(
     "q_ann_topk" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
         |      FROM embeddings),
         |scored AS (
         |  SELECT query_id, neighbor_id,
-        |    CAST(round(list_dot_product(qv, cv)
-        |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
-        |      * 1e6, 0) AS BIGINT) AS cosine_micro
+        |    ${cosineMicroSql("qv", "cv")} AS cosine_micro
         |  FROM c, q WHERE query_id <> neighbor_id),
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
         |        ORDER BY cosine_micro DESC, neighbor_id) AS rank FROM scored)
@@ -835,10 +861,7 @@ object SparkEntry {
     // single-assignment (cosine_micro DESC, cid ASC tie-break), same
     // nprobe probed lists — bit-for-bit the Spark pipeline
     "q_ann_ivf" -> {
-      val cm = (a: String, b: String) =>
-        s"""CAST(round(list_dot_product($a, $b)
-           |  / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))
-           |  * 1e6, 0) AS BIGINT)""".stripMargin
+      val cm = cosineMicroSql _
       s"""WITH c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
          |           FROM embeddings),
          |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -901,9 +924,7 @@ object SparkEntry {
          |  FROM cb JOIN qbp ON cb.t = qbp.t AND cb.b = qbp.b
          |  WHERE query_id <> neighbor_id),
          |scored AS (SELECT query_id, neighbor_id,
-         |  CAST(round(list_dot_product(qv, cv)
-         |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
-         |    * 1e6, 0) AS BIGINT) AS cosine_micro
+         |  ${cosineMicroSql("qv", "cv")} AS cosine_micro
          |  FROM cand JOIN q USING (query_id) JOIN c USING (neighbor_id)),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
          |        ORDER BY cosine_micro DESC, neighbor_id) AS rank FROM scored)
@@ -937,9 +958,7 @@ object SparkEntry {
          |  JOIN bcnt ON bcnt.t = x.t AND bcnt.b = x.b
          |  JOIN cb y ON x.t = y.t AND x.b = y.b AND x.id < y.id),
          |ver AS (SELECT id_a, id_b,
-         |  CAST(round(list_dot_product(a.v, b.v)
-         |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-         |    * 1e6, 0) AS BIGINT) AS cosine_micro
+         |  ${cosineMicroSql("a.v", "b.v")} AS cosine_micro
          |  FROM cand
          |  JOIN corpus a ON a.id = cand.id_a
          |  JOIN corpus b ON b.id = cand.id_b)
@@ -950,7 +969,7 @@ object SparkEntry {
     // range(500) with the same modular arithmetic, then brute-force
     // cosine top-3 for media_id < 5
     "q_media_features" ->
-      """WITH m AS (SELECT range AS media_id,
+      s"""WITH m AS (SELECT range AS media_id,
         |  lpad(CAST((range * 2654435761 + 12345) % 1000000007 AS VARCHAR),
         |       10, '0') AS content
         |  FROM range(500)),
@@ -964,9 +983,7 @@ object SparkEntry {
         |      WHERE media_id < 5),
         |c AS (SELECT media_id AS neighbor_id, v::DOUBLE[] AS cv FROM feat),
         |scored AS (SELECT query_id, neighbor_id,
-        |  CAST(round(list_dot_product(qv, cv)
-        |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
-        |    * 1e6, 0) AS BIGINT) AS cosine_micro
+        |  ${cosineMicroSql("qv", "cv")} AS cosine_micro
         |  FROM c, q WHERE query_id <> neighbor_id),
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
         |        ORDER BY cosine_micro DESC, neighbor_id) AS rank FROM scored)

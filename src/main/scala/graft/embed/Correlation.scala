@@ -127,7 +127,12 @@ object Correlation {
                          threshold: Int): Option[Array[(Double, Double)]] =
     if (threshold <= 0) None
     else {
+      // null rows are dropped BEFORE the limit, matching the distributed
+      // path exactly: avgRanksBoth re-joins on value equality, which
+      // silently excludes null values — the local path must not NPE (or
+      // count toward the threshold) on rows the distributed path ignores
       val rows = df.select(col(a).cast("double"), col(b).cast("double"))
+        .where(col(a).isNotNull && col(b).isNotNull)
         .limit(threshold + 1).collect()
       if (rows.length <= threshold)
         Some(rows.map(r => (r.getDouble(0), r.getDouble(1))))

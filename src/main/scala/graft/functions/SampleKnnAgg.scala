@@ -57,11 +57,8 @@ case class SampleKnnAgg(
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
       case s: StructType if s.size >= 2 &&
-        s.fields(0).dataType == ArrayType(DoubleType, containsNull = false) &&
-        s.fields(1).dataType == LongType =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case s: StructType if s.size >= 2 &&
-        s.fields(0).dataType == ArrayType(DoubleType, containsNull = true) &&
+        (s.fields(0).dataType == ArrayType(DoubleType, containsNull = false) ||
+          s.fields(0).dataType == ArrayType(DoubleType, containsNull = true)) &&
         s.fields(1).dataType == LongType =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
@@ -193,7 +190,9 @@ case class CosineTopKAgg(
 
   override def update(buf: SampleKnnAgg.Bufs, input: InternalRow): SampleKnnAgg.Bufs = {
     val v = child.eval(input)
-    if (v != null) {
+    // k <= 0: nothing can ever enter a heap, and the cheap-reject below
+    // would read keys(q)(0) of a zero-length array
+    if (v != null && k > 0) {
       val row = v.asInstanceOf[InternalRow]
       val arr = row.getArray(0)
       val id = row.getLong(1)

@@ -31,17 +31,27 @@ object Plots {
 
   final case class Ols(slope: Double, intercept: Double, n: Long)
 
+  /** Closed-form normal-equations fit from sufficient statistics — the
+    * ONE copy of the arithmetic shared by [[olsFit]] and the fused
+    * multi-column aggregation in [[scatterFacets]] (a degenerate x
+    * column fits the horizontal mean line).
+    */
+  private[viz] def olsFrom(n: Long, sx: Double, sy: Double,
+                           sxx: Double, sxy: Double): Ols = {
+    if (n == 0) return Ols(Double.NaN, Double.NaN, 0)
+    val den = n.toDouble * sxx - sx * sx
+    val slope = if (den == 0) 0.0 else (n * sxy - sx * sy) / den
+    Ols(slope, (sy - sx * slope) / n, n)
+  }
+
   /** Exact least-squares fit of y on x — one pass, distributed. */
   def olsFit(df: DataFrame, x: String, y: String): Ols = {
     val r = df.select(count(lit(1)), sum(col(x)), sum(col(y)),
       sum(col(x) * col(x)), sum(col(x) * col(y))).head()
     val n = r.getLong(0)
-    if (n == 0) return Ols(Double.NaN, Double.NaN, 0)
-    val (sx, sy, sxx, sxy) =
-      (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
-    val den = n * sxx - sx * sx
-    if (den == 0) Ols(0.0, sy / n, n)
-    else Ols((n * sxy - sx * sy) / den, (sy - sx * (n * sxy - sx * sy) / den) / n, n)
+    if (n == 0) Ols(Double.NaN, Double.NaN, 0)
+    else olsFrom(n, r.getDouble(1), r.getDouble(2), r.getDouble(3),
+      r.getDouble(4))
   }
 
   private val FW = 300 // facet width
@@ -68,11 +78,8 @@ object Plots {
     val fits = ys.zipWithIndex.map { case (y, i) =>
       val base = 5 + i * 4
       val (yLo, yHi) = (r.getDouble(base), r.getDouble(base + 1))
-      val (sy, sxy) = (r.getDouble(base + 2), r.getDouble(base + 3))
-      val den = n.toDouble * sxx - sx * sx
-      val slope = if (den == 0) 0.0 else (n * sxy - sx * sy) / den
-      val icept = (sy - sx * slope) / n
-      (y, yLo, yHi, Ols(slope, icept, n))
+      (y, yLo, yHi, olsFrom(n, sx, r.getDouble(base + 2), sxx,
+        r.getDouble(base + 3)))
     }
     // bounded deterministic ink: hash-ordered top-k, never a full sort
     val pts = sel.orderBy(xxhash64((x +: ys).map(col): _*), col(x))

@@ -33,14 +33,31 @@ object Bridge {
     * "cannot be recomputed after unpersisting" WARN — even here, where
     * every release happens after the successor state is materialized
     * and the frame is provably dead. The warning spams hundreds of
-    * lines into every iterative bench run, so the rdd-package logger is
-    * raised to ERROR once, on first release. (Scoped to
-    * org.apache.spark.rdd only; executor/task warnings are unaffected.)
+    * lines into every iterative bench run, so a message-targeted DENY
+    * filter is installed once, on first release — scoped to that exact
+    * message text, so every OTHER rdd-package warning (checkpoint block
+    * loss, recompute costs in a host application) still reaches the
+    * log. Falls back to raising org.apache.spark.rdd to ERROR if the
+    * log4j2 filter API is unavailable.
     */
   private lazy val muteLocalCheckpointWarn: Unit =
-    try org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
-    catch { case _: Throwable => () } // non-log4j2 backends: keep the noise
+    try {
+      import org.apache.logging.log4j.core.{Filter, LoggerContext}
+      import org.apache.logging.log4j.core.filter.RegexFilter
+      val ctx = org.apache.logging.log4j.LogManager
+        .getContext(false).asInstanceOf[LoggerContext]
+      val filter = RegexFilter.createFilter(
+        ".*cannot be recomputed after unpersisting.*",
+        null, false, Filter.Result.DENY, Filter.Result.NEUTRAL)
+      ctx.getConfiguration.getLoggerConfig("org.apache.spark.rdd")
+        .addFilter(filter)
+      ctx.updateLoggers()
+    } catch {
+      case _: Throwable =>
+        try org.apache.logging.log4j.core.config.Configurator.setLevel(
+          "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+        catch { case _: Throwable => () } // non-log4j2: keep the noise
+    }
 
   /** Unpersist the RDD behind a localCheckpointFresh frame — call once
     * the frame is provably dead (a successor checkpoint materialized).
