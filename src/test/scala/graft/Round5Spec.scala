@@ -234,6 +234,30 @@ class Round5Spec extends SparkSuite {
     assert(a.count() == 500)
   }
 
+  test("spearman local gate skips null rows like the distributed joins") {
+    import spark.implicits._
+    // nulls from a left join: the distributed path's value-equality
+    // re-joins silently exclude them; the local probe must not NPE and
+    // must produce the same rho over the non-null rows
+    val df = ((1 to 300).map(i => (i.toDouble, Some(i * 2.0))) ++
+      Seq((1000.0, Option.empty[Double]), (2000.0, Option.empty[Double])))
+      .toDF("a", "b")
+    val (rhoLocal, usedLocal) = graft.embed.Correlation.spearmanVia(df, "a", "b")
+    assert(usedLocal)
+    val (rhoDist, _) =
+      graft.embed.Correlation.spearmanVia(df, "a", "b", threshold = 0)
+    assert(math.abs(rhoLocal - rhoDist) < 1e-12, s"$rhoLocal vs $rhoDist")
+    assert(math.abs(rhoLocal - 1.0) < 1e-12)
+  }
+
+  test("fused cosine top-k: k = 0 yields an empty result, not a crash") {
+    import spark.implicits._
+    val corpus = (0L until 50L).map(i => (i, Array.fill(8)(i * 0.1)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") < 3)
+    assert(graft.ann.Ann.bruteForceTopK(corpus, queries, 0).count() == 0)
+  }
+
   test("path-centrality local gate: bit-identical to distributed, routed") {
     import spark.implicits._
     def asMap(df: org.apache.spark.sql.DataFrame) =
