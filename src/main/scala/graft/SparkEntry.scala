@@ -495,7 +495,7 @@ object SparkEntry {
          |  SELECT w.s, n.nbr AS id, w.dist + 1 AS dist
          |  FROM walk w JOIN nbrs n ON n.id = w.id
          |  WHERE w.dist < 40),
-         |sp AS (SELECT s, id, min(dist) AS d FROM walk GROUP BY s, id),
+         |sp AS MATERIALIZED (SELECT s, id, min(dist) AS d FROM walk GROUP BY s, id),
          |sums AS (SELECT id, sum(d) AS sd, count(*) AS r FROM sp GROUP BY id),
          |nk AS (SELECT CAST(count(*) AS DOUBLE) AS n,
          |              CAST((SELECT count(*) FROM verts WHERE id < 8) AS DOUBLE) AS k
@@ -595,8 +595,12 @@ object SparkEntry {
 
   private def betweennessOracle: Map[String, String] = {
     val maxL = BetweennessOracleLevels
+    // MATERIALIZED fences: every s_k is referenced by s_{k+1}, d_k
+    // (twice), and the final union; without them DuckDB inlines the
+    // level chain exponentially — measured 67.6s -> 2.7s at sf0.01
+    // with identical output (and makes the sf0.1 mirror tractable)
     val sigmas = (1 to maxL).map { k =>
-      s"""s$k AS (SELECT sp.s, sp.id, sum(p.sigma) AS sigma
+      s"""s$k AS MATERIALIZED (SELECT sp.s, sp.id, sum(p.sigma) AS sigma
          |  FROM sp JOIN nbrs n ON n.id = sp.id
          |  JOIN s${k - 1} p ON p.s = sp.s AND p.id = n.nbr
          |  WHERE sp.d = $k GROUP BY sp.s, sp.id)""".stripMargin
@@ -604,7 +608,7 @@ object SparkEntry {
     val deltaAgg = graft.core.PortableSum.fixedSumSql(
       "lv.sigma / w.sigma * (1.0 + w.delta)", "1e12")
     val deltas = (maxL - 1 to 0 by -1).map { k =>
-      s"""d$k AS (SELECT v.s, v.id, v.sigma, coalesce(c.delta, 0.0) AS delta
+      s"""d$k AS MATERIALIZED (SELECT v.s, v.id, v.sigma, coalesce(c.delta, 0.0) AS delta
          |  FROM s$k v LEFT JOIN (
          |    SELECT w.s, n.nbr AS id, $deltaAgg AS delta
          |    FROM d${k + 1} w JOIN nbrs n ON n.id = w.id
@@ -621,10 +625,10 @@ object SparkEntry {
          |  SELECT w.s, n.nbr AS id, w.dist + 1 AS dist
          |  FROM walk w JOIN nbrs n ON n.id = w.id
          |  WHERE w.dist < 40),
-         |sp AS (SELECT s, id, min(dist) AS d FROM walk GROUP BY s, id),
-         |s0 AS (SELECT s, id, CAST(1 AS DOUBLE) AS sigma FROM sp WHERE d = 0),
+         |sp AS MATERIALIZED (SELECT s, id, min(dist) AS d FROM walk GROUP BY s, id),
+         |s0 AS MATERIALIZED (SELECT s, id, CAST(1 AS DOUBLE) AS sigma FROM sp WHERE d = 0),
          |$sigmas,
-         |d$maxL AS (SELECT s, id, sigma, CAST(0 AS DOUBLE) AS delta FROM s$maxL),
+         |d$maxL AS MATERIALIZED (SELECT s, id, sigma, CAST(0 AS DOUBLE) AS delta FROM s$maxL),
          |$deltas,
          |alldelta AS (
          |  $union),
@@ -662,14 +666,18 @@ object SparkEntry {
     // gather + L2-norm sums in the PortableSum fixed-point shape,
     // mirroring EigenvectorCentrality.fixedIter(portableSum = true)
     "q_eigencentrality" -> {
+      // MATERIALIZED: each e_k is referenced twice by the next step
+      // (gather + self-join) and s_k twice by its own norm, so without
+      // the fence DuckDB inlines the whole chain EXPONENTIALLY —
+      // measured 63s -> ~2s at sf0.01 with identical output
       def step(prev: String, k: Int): String =
-        s"""s$k AS (SELECT v.id, v.score + coalesce(g.s, 0.0) AS raw
+        s"""s$k AS MATERIALIZED (SELECT v.id, v.score + coalesce(g.s, 0.0) AS raw
            |        FROM $prev v LEFT JOIN
            |          (SELECT n.nbr AS id,
            |             ${graft.core.PortableSum.fixedSumSql("r.score", "1e15")} AS s
            |           FROM nbrs n JOIN $prev r ON n.id = r.id
            |           GROUP BY n.nbr) g ON g.id = v.id),
-           |e$k AS (SELECT id, raw / (SELECT sqrt(
+           |e$k AS MATERIALIZED (SELECT id, raw / (SELECT sqrt(
            |          ${graft.core.PortableSum.fixedSumSql("raw * raw", "1e10")}) FROM s$k)
            |               AS score FROM s$k)""".stripMargin
       s"""WITH $edgesSqlCte,
