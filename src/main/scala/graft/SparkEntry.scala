@@ -66,7 +66,7 @@ object SparkEntry {
     */
   private def pagerankSqlCtes: String = {
     def step(prev: String, k: Int): String =
-      s"""r$k AS (
+      s"""r$k AS MATERIALIZED (
          |  SELECT d.id,
          |         (1.0 - 0.85) / d.n + 0.85 * coalesce(s.s, 0.0) AS rank,
          |         d.deg, d.n
@@ -75,8 +75,8 @@ object SparkEntry {
          |               ${graft.core.PortableSum.fixedSumSql("r.rank / r.deg", "1e15")} AS s
          |             FROM nbrs n JOIN $prev r ON n.id = r.id
          |             GROUP BY n.nbr) s ON s.id = d.id)""".stripMargin
-    s"""deg0 AS (SELECT id, CAST(count(*) AS DOUBLE) AS deg FROM nbrs GROUP BY id),
-       |deg AS (SELECT id, deg, (SELECT CAST(count(*) AS DOUBLE) FROM deg0) AS n FROM deg0),
+    s"""deg0 AS MATERIALIZED (SELECT id, CAST(count(*) AS DOUBLE) AS deg FROM nbrs GROUP BY id),
+       |deg AS MATERIALIZED (SELECT id, deg, (SELECT CAST(count(*) AS DOUBLE) FROM deg0) AS n FROM deg0),
        |r0 AS (SELECT id, 1.0 / n AS rank, deg, n FROM deg),
        |${step("r0", 1)},
        |${step("r1", 2)},
@@ -696,7 +696,7 @@ object SparkEntry {
     "q_spearman_deg_pr" ->
       s"""WITH $edgesSqlCte,
          |$pagerankSqlCtes,
-         |j AS (SELECT d.id, CAST(d.deg AS BIGINT) AS degree,
+         |j AS MATERIALIZED (SELECT d.id, CAST(d.deg AS BIGINT) AS degree,
          |             CAST(round(r5.rank * 1e9, 0) AS BIGINT) AS rank_nano
          |      FROM deg d JOIN r5 ON r5.id = d.id),
          |ca AS (SELECT degree AS v, count(*) AS c FROM j GROUP BY 1),

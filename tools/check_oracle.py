@@ -5,8 +5,14 @@ import pandas as pd
 sfdir = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
 outdir = sys.argv[2] if len(sys.argv) > 2 else '/tmp/verify_r1'
 con = duckdb.connect()
+import os
 for t in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    # driver testdata is a single parquet file; Spark-written inputs
+    # (e.g. the ScaleUp 10x set) are part-file directories
+    p = f'{sfdir}/{t}.parquet'
+    if os.path.isdir(p):
+        p = f'{p}/*.parquet'
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 oracles = json.load(open(f'{outdir}/oracle_sql.json'))
 def canon(df):
     df = df[sorted(df.columns)]
