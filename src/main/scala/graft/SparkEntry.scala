@@ -734,10 +734,12 @@ object SparkEntry {
          |  CAST(round(CAST(len(list_filter(str_split(text, ' '),
          |       x -> x IN ($enIn))) AS DOUBLE)
          |       / len(str_split(text, ' ')) * 1e6, 0) AS BIGINT) AS stopword_ratio_micro,
+         |  CASE WHEN length(text) > 0 THEN
          |  CAST(round(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
-         |       / length(text) * 1e6, 0) AS BIGINT) AS punct_ratio_micro,
+         |       / length(text) * 1e6, 0) AS BIGINT) END AS punct_ratio_micro,
+         |  CASE WHEN length(text) > 0 THEN
          |  CAST(round(CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
-         |       / length(text) * 1e6, 0) AS BIGINT) AS upper_ratio_micro
+         |       / length(text) * 1e6, 0) AS BIGINT) END AS upper_ratio_micro
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_doc_langid" ->

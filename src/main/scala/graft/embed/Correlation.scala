@@ -139,8 +139,18 @@ object Correlation {
       else None
     }
 
+  /** Pairwise-complete rows only (scipy `nan_policy='omit'` semantics,
+    * and what the local path's null-dropping probe computes): a row
+    * with a null in EITHER column must not contribute its other value
+    * to the rank counts — the final value-equality joins would drop the
+    * row anyway, but its surviving column would have shifted avg ranks
+    * of tied values, silently changing rho across the local gate.
+    */
+  private def pairwiseComplete(df: DataFrame, a: String, b: String): DataFrame =
+    df.where(col(a).isNotNull && col(b).isNotNull)
+
   private def spearmanDistributed(df: DataFrame, a: String, b: String): Double = {
-    val withBoth = avgRanksBoth(df, a, b)
+    val withBoth = avgRanksBoth(pairwiseComplete(df, a, b), a, b)
     val r = withBoth.agg(pearson(col("_ra"), col("_rb"))).head()
     if (r.isNullAt(0)) Double.NaN else r.getDouble(0)
   }
@@ -157,8 +167,13 @@ object Correlation {
     import spark.implicits._
     probePairs(df, a, b, threshold) match {
       case Some(pairs) =>
+        // NaN (constant column / empty input) must become NULL like the
+        // distributed pearson() guard — casting NaN to long THROWS under
+        // ANSI, and the two routes must agree on degenerate input
         Seq(spearmanLocal(pairs)).toDF("_rho")
-          .select(round(col("_rho") * 1e6, 0).cast("long").as(outName))
+          .select(when(isnan(col("_rho")), lit(null).cast("long"))
+            .otherwise(round(col("_rho") * 1e6, 0).cast("long"))
+            .as(outName))
       case None =>
         spearmanDfDistributed(df, a, b, outName)
     }
@@ -166,7 +181,7 @@ object Correlation {
 
   private def spearmanDfDistributed(df: DataFrame, a: String, b: String,
                                     outName: String): DataFrame = {
-    val withBoth = avgRanksBoth(df, a, b)
+    val withBoth = avgRanksBoth(pairwiseComplete(df, a, b), a, b)
     withBoth.agg(round(pearson(col("_ra"), col("_rb")) * 1e6, 0)
       .cast("long").as(outName))
   }

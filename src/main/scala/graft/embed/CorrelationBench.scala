@@ -75,9 +75,15 @@ object CorrelationBench {
       extraCentralities.keys
     val corrs = measures.map(mname =>
       mname -> Correlation.spearman(joined, "radius", mname)).toMap
-    // scipy-parity (rho, p) per measure — benchmark.py:173-194
+    // scipy-parity (rho, p) per measure — benchmark.py:173-194. The
+    // p-value's sample size is the JOINED row count, not the vertex
+    // count: an extraCentralities frame that omits vertices (a sampled
+    // estimator on a disconnected graph) shrinks the sample every rho
+    // is computed over, and a p for a larger n would overstate
+    // significance.
+    val nRho = joined.count()
     val ps = corrs.map { case (mname, rho) =>
-      mname -> graft.core.Stats.spearmanPValue(rho, n)
+      mname -> graft.core.Stats.spearmanPValue(rho, nRho)
     }
     (Report(n, m, layoutSecs, corrs, ps), joined)
   }

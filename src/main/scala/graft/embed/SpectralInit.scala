@@ -67,7 +67,15 @@ object SpectralInit {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val vCount = deg.count()
     val eCount = edges.count()
-    if (vCount > 0 && vCount <= localCap && eCount <= localEdgeCap) {
+    if (vCount == 0) {
+      // an empty edge table previously fell through to the distributed
+      // loop, whose Gram aggregate over zero rows returns an all-null
+      // row and NPEs on getDouble — return the empty positions frame
+      deg.unpersist(false)
+      import spark.implicits._
+      return Seq.empty[(Long, Seq[Double])].toDF("id", "pos")
+    }
+    if (vCount <= localCap && eCount <= localEdgeCap) {
       deg.unpersist(false)
       return runLocal(spark, edges, d, maxIter, seed, gramTol)
     }

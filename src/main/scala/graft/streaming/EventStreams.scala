@@ -74,8 +74,18 @@ object EventStreams {
     * keys otherwise). Tombstones are one tiny record per ever-seen
     * user, the same |users| bound the batch twin's groupBy pays.
     */
+  /** Per-user session state. `buf` holds events NOT yet finalized: an
+    * event is folded into sessions only once the watermark passes it,
+    * because only then is its position in the user's event-time order
+    * final. Folding earlier (the pre-round-5 design) silently merged an
+    * out-of-order event that preceded the open session's start by more
+    * than the gap — the batch twin splits there. State cost: the open
+    * session record plus the events inside the watermark window, the
+    * inherent price of exact event-time sessionization.
+    */
   case class SessState(sess: Long, startUs: Long, lastUs: Long,
-                       n: Long, sum: Double, open: Boolean)
+                       n: Long, sum: Double, open: Boolean,
+                       buf: Seq[(Long, Long, Double)])
 
   /** One closed session — same columns/units as the batch
     * q_events_sessions twin.
@@ -113,53 +123,58 @@ object EventStreams {
     def closed(user: Long, s: SessState): SessionRow =
       SessionRow(user, s.sess, s.startUs, s.n, math.round(s.sum * 1e6))
 
+    // One advance, used by both the data and the timeout branch:
+    // buffer incoming events, FINALIZE (fold, in event-time order) only
+    // those the watermark has passed — no later arrival can precede
+    // them, so finalized events form one globally sorted stream and the
+    // fold is EXACTLY the batch twin's sorted-lag computation. The open
+    // session closes when a finalized gap follows it or when the
+    // watermark proves nothing can extend it; a closed ordinal survives
+    // as a tombstone (open = false) so a returning user keeps numbering.
+    def advance(user: Long, incoming: Seq[(Long, Long, Double)],
+                state: GroupState[SessState]): Iterator[SessionRow] = {
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      var cur = state.getOption
+        .getOrElse(SessState(-1L, 0L, 0L, 0L, 0.0, open = false, Nil))
+      val (fin, keep) = (cur.buf ++ incoming).partition(_._1 < wmUs)
+      val out = Seq.newBuilder[SessionRow]
+      fin.sortBy(e => (e._1, e._2)).foreach { case (us, _, v) =>
+        // us >= cur.lastUs by construction: every already-finalized
+        // event was below some earlier watermark, us is above it
+        if (cur.open && us - cur.lastUs <= gapUs)
+          cur = cur.copy(lastUs = us, n = cur.n + 1, sum = cur.sum + v)
+        else {
+          if (cur.open) out += closed(user, cur)
+          cur = SessState(cur.sess + 1, us, us, 1L, v, open = true, Nil)
+        }
+      }
+      if (cur.open && wmUs > cur.lastUs + gapUs) {
+        // no future event (all >= wmUs) can merge: the session is final
+        out += closed(user, cur)
+        cur = cur.copy(n = 0L, sum = 0.0, open = false)
+      }
+      val next = cur.copy(buf = keep)
+      state.update(next)
+      if (next.open || next.buf.nonEmpty) {
+        // wake when the watermark can close the open session or
+        // finalize the earliest buffered event, whichever is sooner
+        val dueUs = (if (next.open) Seq(next.lastUs + gapUs) else Nil) ++
+          next.buf.map(_._1)
+        state.setTimeoutTimestamp(math.max(
+          dueUs.min / 1000L + 1L, state.getCurrentWatermarkMs() + 1L))
+      }
+      out.result().iterator
+    }
+
     typed.groupByKey(_._1)
       .flatMapGroupsWithState[SessState, SessionRow](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user, it, state: GroupState[SessState]) =>
-          if (state.hasTimedOut) {
-            // watermark passed lastUs + gap: the open session is final.
-            // Replace it with a tombstone (not remove) so the ordinal
-            // survives the flush; no timeout is set on the tombstone.
-            val out = state.getOption.filter(_.open).map { s =>
-              state.update(s.copy(n = 0, sum = 0.0, open = false))
-              closed(user, s)
-            }.toSeq
-            out.iterator
-          } else {
-            // fold this batch's events (in event-time order) into the
-            // open session, emitting sessions closed by a gap
-            val evs = it.toArray.map { case (_, eid, ts, v) =>
+          if (state.hasTimedOut) advance(user, Nil, state)
+          else advance(user,
+            it.map { case (_, eid, ts, v) =>
               (ts.getTime * 1000L, eid, v)
-            }.sortBy(e => (e._1, e._2))
-            var cur = state.getOption
-            val out = Seq.newBuilder[SessionRow]
-            evs.foreach { case (us, _, v) =>
-              cur match {
-                case Some(s) if s.open && us - s.lastUs <= gapUs =>
-                  // a late-but-within-watermark event may precede the
-                  // open session's first event: keep min as the start,
-                  // matching the batch twin's min(us)
-                  cur = Some(s.copy(startUs = math.min(s.startUs, us),
-                    lastUs = math.max(s.lastUs, us),
-                    n = s.n + 1, sum = s.sum + v))
-                case Some(s) =>
-                  // open session closed by this gap, or a tombstone:
-                  // either way the next ordinal is s.sess + 1
-                  if (s.open) out += closed(user, s)
-                  cur = Some(SessState(s.sess + 1, us, us, 1, v, open = true))
-                case None =>
-                  cur = Some(SessState(0, us, us, 1, v, open = true))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              // flush when the watermark proves no event can extend it
-              if (s.open)
-                state.setTimeoutTimestamp(s.lastUs / 1000L + gapUs / 1000L + 1L)
-            }
-            out.result().iterator
-          }
+            }.toSeq, state)
       }
   }
 }

@@ -67,16 +67,31 @@ object Dedup {
     * duplicates of each other — `exactGroups` covers them.
     */
   def lshBuckets(df: DataFrame, idCol: String, textCol: String,
-                 numHashes: Int = 16, bands: Int = 8): DataFrame = {
+                 numHashes: Int = 16, bands: Int = 8,
+                 portableHash: Boolean = false): DataFrame =
+    bandedBuckets(
+      df.select(col(idCol).as("id"), TextOps.shingles(col(textCol)).as("sh")),
+      numHashes, bands, portableHash)
+
+  /** The one copy of the signature -> band-bucket pipeline, shared by
+    * [[lshBuckets]] and [[minHashNearDups]]. Input: an (id, sh) frame.
+    */
+  private def bandedBuckets(sh: DataFrame, numHashes: Int, bands: Int,
+                            portableHash: Boolean): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sig = minHashSignature(col("_sh"), numHashes)
-    df.select(col(idCol).as("id"), TextOps.shingles(col(textCol)).as("_sh"))
-      .where(size(col("_sh")) > 0)
+    val sig =
+      if (portableHash) minHashSignaturePortable(col("sh"), numHashes)
+      else minHashSignature(col("sh"), numHashes)
+    def bandBucket(b: Column): Column = {
+      val sl = slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
+      if (portableHash)
+        aggregate(sl, lit(0L), (a, v) => (a * 31L + v) % 1000000007L)
+      else xxhash64(concat_ws(",", sl))
+    }
+    sh.where(size(col("sh")) > 0)
       .select(col("id"), sig.as("sig"))
       .select(col("id"), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws(",",
-            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
+        transform(sequence(lit(0), lit(bands - 1)), b => bandBucket(b))))
       .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
   }
 
@@ -102,21 +117,7 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"),
         TextOps.shingles(col(textCol)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rowsPerBand = numHashes / bands
-    val sig =
-      if (portableHash) minHashSignaturePortable(col("sh"), numHashes)
-      else minHashSignature(col("sh"), numHashes)
-    def bandBucket(b: Column): Column = {
-      val sl = slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
-      if (portableHash)
-        aggregate(sl, lit(0L), (a, v) => (a * 31L + v) % 1000000007L)
-      else xxhash64(concat_ws(",", sl))
-    }
-    val buckets = sh.where(size(col("sh")) > 0)
-      .select(col("id"), sig.as("sig"))
-      .select(col("id"), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)), b => bandBucket(b))))
-      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+    val buckets = bandedBuckets(sh, numHashes, bands, portableHash)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bucketCounts = buckets.groupBy("band", "bucket")
       .agg(count(lit(1)).as("_bc"))
@@ -216,6 +217,11 @@ object Dedup {
     */
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
+    // the 4-chunk pigeonhole only guarantees a shared chunk for pairs
+    // within hamming distance 3; a larger threshold would silently miss
+    // qualifying pairs (one flipped bit per chunk shares nothing)
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0, 3] for 4-chunk candidate recall, got $maxHamming")
     val sh = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exact-simhash groups -> linear link rows + one representative each

@@ -32,15 +32,17 @@ object TextOps {
     val stop = hits(t, StopwordsEn).cast("double")
     val punct = (length(t) - length(regexp_replace(t, "[.,;:!?]", ""))).cast("double")
     val upper = (length(t) - length(regexp_replace(t, "[A-Z]", ""))).cast("double")
+    // ratio guards: an empty document (or one with no tokens) gets NULL
+    // ratios instead of an ANSI DIVIDE_BY_ZERO — Spark 4 runs ANSI by
+    // default, so the unguarded division is a crash, not an Infinity
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0, round(num / den * 1e6, 0).cast("long"))
     df.withColumn("n_chars", length(t).cast("long"))
       .withColumn("n_tokens", tokenCount(t).cast("long"))
-      .withColumn("avg_token_len_micro",
-        round(noSpace / nTok * 1e6, 0).cast("long"))
-      .withColumn("stopword_ratio_micro", round(stop / nTok * 1e6, 0).cast("long"))
-      .withColumn("punct_ratio_micro",
-        round(punct / length(t).cast("double") * 1e6, 0).cast("long"))
-      .withColumn("upper_ratio_micro",
-        round(upper / length(t).cast("double") * 1e6, 0).cast("long"))
+      .withColumn("avg_token_len_micro", ratio(noSpace, nTok))
+      .withColumn("stopword_ratio_micro", ratio(stop, nTok))
+      .withColumn("punct_ratio_micro", ratio(punct, length(t).cast("double")))
+      .withColumn("upper_ratio_micro", ratio(upper, length(t).cast("double")))
   }
 
   /** n-gram-heuristic language id: stopword hit counts per language,
@@ -84,9 +86,15 @@ object TextOps {
   }
 
   /** Jaccard similarity of two shingle-set columns (distinct-set
-    * semantics, matching DuckDB list_intersect/list_distinct).
+    * semantics, matching DuckDB list_intersect/list_distinct). Two
+    * EMPTY sets score 0.0 — the unguarded 0/0 throws under ANSI; the
+    * oracle mirrors never see the case because they filter on a
+    * positive intersection first, and a 0.0 here is filtered the same
+    * way by every caller's similarity threshold.
     */
   def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)).cast("double")
+    when(size(array_union(a, b)) > 0,
+      size(array_intersect(a, b)).cast("double") /
+        size(array_union(a, b)).cast("double"))
+      .otherwise(lit(0.0))
 }

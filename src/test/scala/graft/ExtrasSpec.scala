@@ -117,6 +117,42 @@ class ExtrasSpec extends SparkSuite {
     assert(got == want, s"got $got")
   }
 
+  test("sessionization splits an out-of-order event beyond the gap (batch-twin parity)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ms = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val events = ms.toDF.toDF("user_id", "event_id", "ts", "value")
+    val q = EventStreams.sessionize(spark, events)
+      .writeStream.format("memory").queryName("sess_ooo")
+      .outputMode("append").start()
+    try {
+      // batch 1: 12:00:00 opens a session; watermark advances to 11:00
+      ms.addData((3L, 1L, ts(43200), 1.0))
+      q.processAllAvailable()
+      // batch 2: a LATE event at 11:06:40 — inside the watermark but
+      // 3200s (> the 1800s gap) BEFORE the open session's start. The
+      // batch twin (sorted lag) makes it its OWN session; the old fold
+      // merged it because us - lastUs was negative
+      ms.addData((3L, 2L, ts(40000), 2.0))
+      q.processAllAvailable()
+      // sentinels: advance the watermark, then fire the timeouts
+      ms.addData((9999L, 99L, ts(900000), 0.0))
+      q.processAllAvailable()
+      ms.addData((9999L, 100L, ts(1800000), 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sess_ooo").where(col("user_id") === 3L)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val want = Set(
+      (0L, 40000000000L, 1L, 2000000L),  // the late event, first in time
+      (1L, 43200000000L, 1L, 1000000L))  // the original, AFTER the gap
+    assert(got == want, s"got $got")
+  }
+
   test("streaming exact dedup: redelivered events within the watermark dropped") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

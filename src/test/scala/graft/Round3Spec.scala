@@ -62,8 +62,11 @@ class Round3Spec extends SparkSuite {
     import spark.implicits._
     val df = Seq((1L, "aa bb cc dd ee"), (2L, "aa bb cc dd ee"),
       (3L, "vv ww xx yy zz")).toDF("doc_id", "text")
+    // maxBucket = 0 caps every chunk bucket, so the hamming threshold is
+    // irrelevant here (the former maxHamming=64 is now rejected — the
+    // 4-chunk pigeonhole only guarantees recall to distance 3)
     val got = Dedup.simHashNearDups(df, "doc_id", "text",
-      maxHamming = 64, maxBucket = 0)
+      maxHamming = 3, maxBucket = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     // every chunk bucket capped out -> only the exact-group link survives
     assert(got == Set((1L, 2L, 0L)))

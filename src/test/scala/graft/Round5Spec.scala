@@ -258,6 +258,48 @@ class Round5Spec extends SparkSuite {
     assert(graft.ann.Ann.bruteForceTopK(corpus, queries, 0).count() == 0)
   }
 
+  test("degenerate-input contracts: empty docs, empty shingles, constant rho") {
+    import spark.implicits._
+    // ANSI mode: the unguarded ratio/jaccard divisions THROW on these
+    val q = graft.text.TextOps.quality(
+      Seq((1L, ""), (2L, "   "), (3L, "Hello, world!")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(q(1L).isNullAt(q(1L).fieldIndex("punct_ratio_micro")))
+    assert(!q(3L).isNullAt(q(3L).fieldIndex("punct_ratio_micro")))
+    val j = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+      .select(graft.text.TextOps.jaccard(
+        graft.text.TextOps.shingles(col("text")),
+        graft.text.TextOps.shingles(col("text"))).as("j"))
+      .collect().map(_.getDouble(0))
+    assert(j.forall(_ == 0.0)) // < 3 tokens -> empty sets -> 0.0, no throw
+    // constant column: local spearmanDf must yield NULL like the
+    // distributed pearson guard, not an ANSI NaN-cast crash
+    val const = (1 to 100).map(i => (i.toDouble, 7.0)).toDF("a", "b")
+    assert(graft.embed.Correlation.spearmanDf(const, "a", "b").head().isNullAt(0))
+    // pigeonhole recall bound is enforced, not silently violated
+    intercept[IllegalArgumentException] {
+      graft.text.Dedup.simHashNearDups(
+        Seq((1L, "x")).toDF("doc_id", "text"), "doc_id", "text", maxHamming = 4)
+    }
+    // empty edge table: spectral init returns an empty frame, not an NPE
+    val empty = graft.embed.SpectralInit.run(spark,
+      Seq.empty[(Long, Long)].toDF("src", "dst"), d = 2)
+    assert(empty.count() == 0)
+  }
+
+  test("spearman: distributed path drops null PAIRS like the local path (ties)") {
+    import spark.implicits._
+    // the dropped row's a-value ties a surviving row's value: ranking a
+    // over all non-null values (the old behavior) would shift the tie's
+    // average rank and change rho
+    val df = Seq((1.0, Option.empty[Double]), (1.0, Some(10.0)),
+      (2.0, Some(20.0)), (3.0, Some(5.0))).toDF("a", "b")
+    val (rhoL, usedLocal) = graft.embed.Correlation.spearmanVia(df, "a", "b")
+    assert(usedLocal)
+    val (rhoD, _) = graft.embed.Correlation.spearmanVia(df, "a", "b", threshold = 0)
+    assert(math.abs(rhoL - rhoD) < 1e-12, s"$rhoL vs $rhoD")
+  }
+
   test("path-centrality local gate: bit-identical to distributed, routed") {
     import spark.implicits._
     def asMap(df: org.apache.spark.sql.DataFrame) =
