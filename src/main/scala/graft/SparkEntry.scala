@@ -130,11 +130,16 @@ object SparkEntry {
   private def embedQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // graphem's signature capability — not SQL-expressible (rows-only
     // driver check); invariants are covered by EmbedSpec.
+    // the edge pipeline (parquet scan + distinct) is materialized ONCE
+    // and shared by the spectral init and the layout loop (it was
+    // re-executed 2-3x before); released once the layout state — itself
+    // materialized — no longer needs it. Output rows are unchanged.
     "q_embed_radii" -> ((s, dir) => {
-      val e = edges(s, dir)
+      val e = graft.core.Lineage.truncate(edges(s, dir))
       val pos = graft.embed.ForceLayout.run(s, e,
         graft.embed.SpectralInit.run(s, e, d = 2, gramTol = 1e-6),
         iterations = 3)
+      graft.core.Lineage.release(e)
       graft.embed.ForceLayout.radii(pos)
         .select(col("id"), round(col("radius") * 1e6, 0).cast("long")
           .as("radius_micro"))
@@ -142,10 +147,11 @@ object SparkEntry {
     }),
 
     "q_embed_seeds" -> ((s, dir) => {
-      val e = edges(s, dir)
+      val e = graft.core.Lineage.truncate(edges(s, dir))
       val pos = graft.embed.ForceLayout.run(s, e,
         graft.embed.SpectralInit.run(s, e, d = 2, gramTol = 1e-6),
         iterations = 3)
+      graft.core.Lineage.release(e)
       graft.embed.Influence.seedSelection(pos, 10)
         .select(col("id"), round(col("radius") * 1e6, 0).cast("long")
           .as("radius_micro"))
@@ -184,7 +190,9 @@ object SparkEntry {
     // Spearman over integer columns (identical in both engines, so
     // ranks — and therefore rho — are exactly comparable)
     "q_spearman_deg_pr" -> ((s, dir) => {
-      val e = edges(s, dir)
+      // one materialization of the edge pipeline feeds both the degree
+      // table and the PageRank adjacency (was two full executions)
+      val e = graft.core.Lineage.truncate(edges(s, dir))
       val deg = Edges.degrees(e)
       val pr = PageRank.fixedIterUndirected(e, 5, portableSum = true)
         .select(col("id"),

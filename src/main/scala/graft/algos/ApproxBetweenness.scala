@@ -61,6 +61,9 @@ object ApproxBetweenness {
           localNbrRowCap: Long = ApproxCloseness.LocalNbrRowThreshold): DataFrame = {
     def sumD(c: org.apache.spark.sql.Column) =
       if (portableSum) graft.core.PortableSum.fixedSum(c, 1e12) else sum(c)
+    // cache the edge pipeline once — shared by nbrs/verts/explicitSources
+    // (same rationale as ApproxCloseness.run)
+    edges.persist(StorageLevel.MEMORY_AND_DISK)
     val nbrs = Edges.neighbors(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val verts = Edges.vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val n = verts.count()
@@ -78,6 +81,7 @@ object ApproxBetweenness {
       graft.core.Lineage.release(sources)
       nbrs.unpersist(false)
       verts.unpersist(false)
+      edges.unpersist(false)
       return out
     }
 
@@ -167,6 +171,7 @@ object ApproxBetweenness {
     graft.core.Lineage.release(sources)
     nbrs.unpersist(false)
     verts.unpersist(false)
+    edges.unpersist(false)
     out
   }
 }

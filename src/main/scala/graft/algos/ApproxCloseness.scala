@@ -66,6 +66,12 @@ object ApproxCloseness {
           seed: Long = 42, maxLevels: Int = 128,
           explicitSources: Option[DataFrame] = None,
           localNbrRowCap: Long = LocalNbrRowThreshold): DataFrame = {
+    // Cache the edge pipeline itself (optimization round 6): nbrs,
+    // verts AND any caller-supplied source frame all contain it as a
+    // subtree — the old code re-executed the scan+distinct once per
+    // derived frame (2-3x per run). CacheManager plan-matching also
+    // covers the caller's explicitSources expression.
+    edges.persist(StorageLevel.MEMORY_AND_DISK)
     val nbrs = Edges.neighbors(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val verts = Edges.vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val n = verts.count()
@@ -82,6 +88,7 @@ object ApproxCloseness {
       graft.core.Lineage.release(sources)
       nbrs.unpersist(false)
       verts.unpersist(false)
+      edges.unpersist(false)
       return out
     }
 
@@ -129,11 +136,24 @@ object ApproxCloseness {
     graft.core.Lineage.release(sources)
     nbrs.unpersist(false)
     verts.unpersist(false)
+    edges.unpersist(false)
     out
   }
 
-  private[algos] def collectAdj(nbrs: DataFrame): Array[(Long, Long)] =
-    nbrs.collect().map(r => (r.getLong(0), r.getLong(1)))
+  /** Collect the 2-column neighbor table into two primitive long
+    * arrays (no per-row tuple boxing — round-5 advice item: at the 2M
+    * local-gate cap the old Array[(Long, Long)] held ~2M boxed tuples).
+    */
+  private[algos] def collectAdj(nbrs: DataFrame): (Array[Long], Array[Long]) = {
+    val rows = nbrs.collect()
+    val s = new Array[Long](rows.length)
+    val d = new Array[Long](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      val r = rows(i); s(i) = r.getLong(0); d(i) = r.getLong(1); i += 1
+    }
+    (s, d)
+  }
 
   private[algos] def collectSources(sources: DataFrame): Array[Long] =
     sources.collect().map(_.getLong(0))

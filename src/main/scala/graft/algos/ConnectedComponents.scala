@@ -28,10 +28,13 @@ object ConnectedComponents {
     val sym = e.select(col("u"), col("v"))
       .union(e.select(col("v").as("u"), col("u").as("v")))
     val mins = sym.groupBy("u").agg(min(least(col("v"), col("u"))).as("m"))
+    // No distinct here (one Exchange of up-to-2E rows saved per round):
+    // smallStar's terminal distinct dedups the composed output, and its
+    // min-aggregations are duplicate-insensitive, so the round's result
+    // is unchanged; the intermediate stays bounded by 2E rows.
     sym.join(mins, "u").where(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .where(col("u") =!= col("v"))
-      .distinct()
   }
 
   /** small-star: for every u, connect its smaller-or-equal neighbors
@@ -48,11 +51,14 @@ object ConnectedComponents {
       .distinct()
   }
 
-  private def checksum(e: DataFrame): (Long, String) = {
+  // Convergence signature of the (distinct) star-edge set: row count +
+  // order-independent XOR of per-row hashes. Replaces the decimal(38,0)
+  // hash SUM — same set-equality semantics and collision class, but a
+  // plain long accumulator instead of 16-byte decimal partials.
+  private def checksum(e: DataFrame): (Long, Long) = {
     val r = e.agg(count(lit(1)),
-      coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
-        lit(java.math.BigDecimal.ZERO))).head()
-    (r.getLong(0), r.getDecimal(1).toPlainString)
+      coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
   }
 
   /** Run to convergence. Returns (id, component) with component = min
@@ -70,6 +76,11 @@ object ConnectedComponents {
     var sig = checksum(e)
     var round = 0
     var done = false
+    // Fixed-shape round tuning: AQE off + data-sized shuffle width in
+    // the small regime (graft.core.LoopConf; data-derived gate — at
+    // scale AQE stays on for its skew-join splitting of star-root keys)
+    val small = graft.core.LoopConf.smallRegime(spark, 2L * sig._1)
+    graft.core.LoopConf.withLoop(spark, small) {
     while (!done && round < maxRounds) {
       // largeStar/smallStar each reference the edge set twice (the
       // symmetrize union + the min join) — truncate lineage every round
@@ -88,6 +99,7 @@ object ConnectedComponents {
       done = nsig == sig
       sig = nsig
       round += 1
+    }
     }
     // Final star edges point v -> root (root < v). Roots / isolated
     // vertices map to themselves. Materialize eagerly so the vertex and

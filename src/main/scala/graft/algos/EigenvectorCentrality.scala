@@ -74,20 +74,37 @@ object EigenvectorCentrality {
   }
 
   /** Fixed-iteration variant for the DuckDB oracle: k power-iteration
-    * steps of x' = normalize(x + A x), no convergence action inside.
+    * steps of x' = normalize(x + A x).
     *
     * `portableSum = true` makes both order-dependent sums (neighbor
     * gather, L2 norm) order-independent and engine-identical via
     * [[graft.core.PortableSum]]: gather addends are normalized scores
     * (<= 1 after the first step, exactly 1.0 at it — scale 1e15); norm
     * addends raw^2 <= (1+maxdeg)^2 ~ 1e5 — scale 1e10 keeps the rounded
-    * product below 2^53.
+    * product below 2^53 (see the round-5 advice note: above-2^53
+    * products on extreme hubs stay engine-identical but lose the
+    * per-addend 0.5e-10 accuracy bound).
+    *
+    * Plan shape (optimization round 6): the old all-declarative loop
+    * referenced `x` twice AND `raw` twice per step (main + norm
+    * crossJoin subtrees), so the leaf count grew ~4x per iteration with
+    * every copy re-executed. Now the adjacency is pre-shuffled once on
+    * the join key and materialized, and each step lazily checkpoints
+    * `raw`, folds the norm aggregate into the materializing action, and
+    * divides by the collected scalar — one job per step, linear plan,
+    * no recomputation. The norm double and the division are the
+    * identical expressions, so the portable path stays bit-identical to
+    * the DuckDB mirror.
     */
   def fixedIter(edges: DataFrame, iters: Int,
                 portableSum: Boolean = false): DataFrame = {
-    val nbrs = Edges.neighbors(edges)
+    val spark = edges.sparkSession
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val nbrs = graft.core.Lineage.truncate(
+      Edges.neighbors(edges).repartition(p, col("id")))
     val verts = nbrs.select(col("id")).distinct()
     var x = verts.select(col("id"), lit(1.0).as("score"))
+    var prevRaw: DataFrame = null
     for (_ <- 1 to iters) {
       val msgs = nbrs.join(x, Seq("id"))
         .select(col("nbr").as("mid"), col("score"))
@@ -95,14 +112,22 @@ object EigenvectorCentrality {
         if (portableSum) graft.core.PortableSum.fixedSum(col("score"), 1e15)
         else sum(col("score"))
       val gathered = msgs.groupBy(col("mid")).agg(sumExpr.as("s"))
-      val raw = x.join(gathered, x("id") === gathered("mid"), "left")
-        .select(x("id"), (col("score") + coalesce(col("s"), lit(0.0))).as("raw"))
+      val raw = graft.core.Lineage.truncateLazy(
+        x.join(gathered, x("id") === gathered("mid"), "left")
+          .select(x("id"), (col("score") + coalesce(col("s"), lit(0.0))).as("raw")))
       val normExpr =
         if (portableSum)
           sqrt(graft.core.PortableSum.fixedSum(col("raw") * col("raw"), 1e10))
         else sqrt(sum(col("raw") * col("raw")))
-      val nrm = raw.agg(normExpr.as("nrm"))
-      x = raw.crossJoin(nrm).select(col("id"), (col("raw") / col("nrm")).as("score"))
+      // materializes `raw`; the previous step's frame is then dead.
+      // Empty graph: the aggregate returns a null row — `raw` has no
+      // rows either, so the (unused) scalar is irrelevant; guard the
+      // getDouble instead of NPEing where the old lazy plan stayed empty
+      val nrmRow = raw.agg(normExpr.as("nrm")).head()
+      val nrm = if (nrmRow.isNullAt(0)) Double.NaN else nrmRow.getDouble(0)
+      if (prevRaw != null) graft.core.Lineage.release(prevRaw)
+      prevRaw = raw
+      x = raw.select(col("id"), (col("raw") / lit(nrm)).as("score"))
     }
     x
   }

@@ -23,14 +23,30 @@ import graft.graph.Edges
 object LabelPropagation {
 
   def run(spark: SparkSession, edges: DataFrame, iterations: Int): DataFrame = {
-    val nbrs = Edges.neighbors(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    // eager truncate materializes in ONE job per superstep (no separate
-    // persist+count pass) and keeps the plan/stats flat across iterations
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // adjacency pre-shuffled ONCE on the per-iteration join key and
+    // materialized: each superstep's join then only shuffles the V-row
+    // label state (the old persist left nbrs scan-partitioned, so the
+    // 2E-row side was re-shuffled every iteration)
+    val nbrs = graft.core.Lineage.truncate(
+      Edges.neighbors(edges).repartition(p, col("nbr")))
+    // initial labels from the materialized adjacency — same vertex set
+    // as Edges.vertices on a canonical edge table, without a second
+    // pass over the edge pipeline
     var labels = graft.core.Lineage.truncate(
-      Edges.vertices(edges).select(col("id"), col("id").as("label")))
+      nbrs.select(col("id")).distinct()
+        .select(col("id"), col("id").as("label")))
+    // fixed-shape loop tuning: AQE off + data-sized shuffle width in
+    // the small regime (graft.core.LoopConf; data-derived gate)
+    val small = graft.core.LoopConf.smallRegime(spark, nbrs.count())
+    graft.core.LoopConf.withLoop(spark, small) {
     for (i <- 1 to iterations) {
-      val counts = nbrs.join(labels, nbrs("nbr") === labels("id"))
-        .groupBy(nbrs("id").as("vid"), col("label"))
+      // dataset aliases: the initial labels frame derives from nbrs, so
+      // its checkpointed attributes share expression ids with nbrs —
+      // unqualified column refs would be ambiguous on that first join
+      val counts = nbrs.as("n").join(labels.as("l"),
+          col("n.nbr") === col("l.id"))
+        .groupBy(col("n.id").as("vid"), col("l.label").as("label"))
         .agg(count(lit(1)).as("cnt"))
       val next = graft.core.Lineage.truncate(
         counts.groupBy(col("vid").as("id"))
@@ -39,7 +55,8 @@ object LabelPropagation {
       graft.core.Lineage.release(labels)
       labels = next
     }
-    nbrs.unpersist(false)
+    }
+    graft.core.Lineage.release(nbrs)
     labels
   }
 }

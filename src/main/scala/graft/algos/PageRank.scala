@@ -62,14 +62,24 @@ object PageRank {
     val links = linksRaw.select(col("src").cast("long"), col("dst").cast("long"))
       .repartition(p, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val outDeg = links.groupBy(col("src").as("id"))
-      .agg(count(lit(1)).cast("double").as("outdeg"))
-    val verts = links.select(col("src").as("id"))
-      .union(links.select(col("dst").as("id"))).distinct()
-    val vertsDeg = verts.join(outDeg, Seq("id"), "left")
-      .repartition(p, col("id"))
+    // vertex set + out-degree in ONE aggregation over the exploded
+    // endpoints (the old verts-distinct + outDeg-groupBy + left-join
+    // shape shuffled the link table three times for the same result):
+    // outdeg = #src-side rows, NULL for pure-dangling vertices, exactly
+    // as the join produced. groupBy leaves vertsDeg id-hash partitioned.
+    val vertsDeg = links.select(explode(array(
+        struct(col("src").as("id"), lit(1L).as("o")),
+        struct(col("dst").as("id"), lit(0L).as("o")))).as("e"))
+      .select(col("e.id").as("id"), col("e.o").as("o"))
+      .groupBy("id").agg(sum(col("o")).as("oc"))
+      .select(col("id"), when(col("oc") > 0, col("oc").cast("double")).as("outdeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = vertsDeg.count()
+    // n + dangling detection folded into one materializing job (the old
+    // path ran a separate limit(1).count() pass just for anyDangling)
+    val initRow = vertsDeg.agg(count(lit(1)),
+      count(when(col("outdeg").isNull, lit(1)))).head()
+    val n = initRow.getLong(0)
+    val anyDangling = initRow.getLong(1) > 0
     val edgeCount = links.count()
 
     // Resume from the latest committed snapshot if one exists.
@@ -91,8 +101,11 @@ object PageRank {
     val t0 = System.nanoTime()
     var steps = 0
 
-    val anyDangling = vertsDeg.where(col("outdeg").isNull).limit(1).count() > 0
-
+    // Fixed-shape loop tuning: AQE off + data-sized shuffle width in
+    // the small regime (see graft.core.LoopConf — data-derived gate,
+    // nothing changes at scale, where AQE's skew-join splitting stays on)
+    val small = graft.core.LoopConf.smallRegime(spark, edgeCount)
+    graft.core.LoopConf.withLoop(spark, small) {
     while (!converged && iter < cfg.maxIter) {
       val dangleSum = if (!anyDangling) 0.0
         else state.where(col("outdeg").isNull)
@@ -143,6 +156,7 @@ object PageRank {
       iter += 1
       steps += 1
     }
+    }
     val secs = (System.nanoTime() - t0) / 1e9
     val eps = if (steps > 0) edgeCount.toDouble * steps / secs else 0.0
     links.unpersist(false)
@@ -153,23 +167,48 @@ object PageRank {
   /** Fixed-iteration undirected PageRank with no dangling handling —
     * the DuckDB-oracle-checkable query variant (every vertex in a
     * canonical edge table has degree >= 1, so dangling mass is zero by
-    * construction). Kept as a single declarative plan (no actions inside)
-    * so Catalyst sees the whole 2k-iteration pipeline.
+    * construction).
     *
     * `portableSum = true` quantizes each gather addend (rank/deg <= 1,
     * scale 1e15) through [[graft.core.PortableSum]] so the per-vertex
     * sums are order-independent and bit-identical to the DuckDB mirror
     * — closing the latent nano-rounding hazard on the oracle queries.
     * Production callers keep the native double sum.
+    *
+    * Plan shape (optimization round 6): the old formulation referenced
+    * `ranks` TWICE per iteration (gather join + new-rank join), so the
+    * logical plan doubled per step — the k=5 driver query carried 34
+    * copies of the edge scan+distinct subtree and 58 Exchanges, all
+    * re-executed (no ReusedExchange fired). Now the adjacency is
+    * pre-shuffled ONCE on the per-iteration join key and materialized
+    * (localCheckpoint, partitioning preserved), the iteration-invariant
+    * degree table is derived from it without a further exchange, and
+    * each step's new rank joins `deg` (invariant) instead of `ranks` —
+    * the state is referenced exactly once per step, the plan grows
+    * linearly, and each superstep's only Exchange is the gather
+    * aggregation itself (the state/deg joins reuse the id-hash
+    * partitioning end to end). Arithmetic is unchanged: the portable
+    * path is order-independent (bit-identical results) and the native
+    * path differs only in float add order (parity-tested at 1e-12
+    * against the CSR engines, same as before).
     */
   def fixedIterUndirected(edges: DataFrame, iters: Int,
                           alpha: Double = 0.85,
                           portableSum: Boolean = false): DataFrame = {
-    val nbrs = Edges.neighbors(edges)
-    val deg = nbrs.groupBy("id").agg(count(lit(1)).cast("double").as("deg"))
-    val nRow = deg.agg(count(lit(1)).cast("double").as("n"))
-    var ranks = deg.crossJoin(nRow)
-      .select(col("id"), (lit(1.0) / col("n")).as("rank"), col("deg"), col("n"))
+    val spark = edges.sparkSession
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val nbrs = graft.core.Lineage.truncate(
+      Edges.neighbors(edges).repartition(p, col("id")))
+    // deg inherits the id-hash partitioning (no exchange); materialized
+    // so the per-iteration joins scan a pinned RDD instead of
+    // re-aggregating
+    val deg = graft.core.Lineage.truncate(
+      nbrs.groupBy("id").agg(count(lit(1)).cast("double").as("deg")))
+    val n = deg.count()
+    // same doubles as the old crossJoin(count(*)) form: 1.0 / n and
+    // (1 - alpha) / n evaluated in the identical order
+    var ranks = deg.select(col("id"), (lit(1.0) / lit(n.toDouble)).as("rank"),
+      col("deg"))
     for (_ <- 1 to iters) {
       val msgs = nbrs.join(ranks, Seq("id"))
         .select(col("nbr").as("mid"), (col("rank") / col("deg")).as("c"))
@@ -177,11 +216,12 @@ object PageRank {
         if (portableSum) graft.core.PortableSum.fixedSumLong(col("c"), 1e15)
         else sum(col("c"))
       val gathered = msgs.groupBy(col("mid")).agg(sumExpr.as("s"))
-      ranks = ranks.join(gathered, ranks("id") === gathered("mid"), "left")
-        .select(ranks("id"),
-          ((lit(1.0) - lit(alpha)) / col("n") +
+      ranks = deg.join(gathered.select(col("mid").as("id"), col("s")),
+          Seq("id"), "left")
+        .select(col("id"),
+          ((lit(1.0) - lit(alpha)) / lit(n.toDouble) +
             lit(alpha) * coalesce(col("s"), lit(0.0))).as("rank"),
-          col("deg"), col("n"))
+          col("deg"))
     }
     ranks.select(col("id"), col("rank"))
   }

@@ -19,19 +19,28 @@ import org.apache.spark.sql.SparkSession
   */
 private[algos] object PathCentralitySmall {
 
-  /** Dense-index CSR adjacency over collected neighbor rows. The rows
-    * are a MULTISET — duplicates are kept because the betweenness sigma
-    * accumulation adds once per row, exactly like the distributed
-    * frontier join against the neighbor table.
+  /** Dense-index CSR adjacency over collected neighbor rows (two
+    * parallel primitive long arrays — no per-row tuple boxing, which at
+    * the 2M-row local-gate cap cost hundreds of MB of transient driver
+    * heap; round-5 advice item). The rows are a MULTISET — duplicates
+    * are kept because the betweenness sigma accumulation adds once per
+    * row, exactly like the distributed frontier join against the
+    * neighbor table.
     */
-  final class Adj(rows: Array[(Long, Long)]) {
+  final class Adj(srcA: Array[Long], dstA: Array[Long]) {
     val ids: Array[Long] = {
-      val s = new java.util.TreeSet[java.lang.Long]()
-      rows.foreach { case (a, b) => s.add(a); s.add(b) }
-      val out = new Array[Long](s.size); var i = 0
-      val it = s.iterator()
-      while (it.hasNext) { out(i) = it.next(); i += 1 }
-      out
+      val all = new Array[Long](srcA.length + dstA.length)
+      System.arraycopy(srcA, 0, all, 0, srcA.length)
+      System.arraycopy(dstA, 0, all, srcA.length, dstA.length)
+      java.util.Arrays.sort(all)
+      // in-place dedup of the sorted ids
+      var w = 0
+      var i = 0
+      while (i < all.length) {
+        if (w == 0 || all(i) != all(w - 1)) { all(w) = all(i); w += 1 }
+        i += 1
+      }
+      java.util.Arrays.copyOf(all, w)
     }
     private val idx = {
       val m = new java.util.HashMap[java.lang.Long, Integer](ids.length * 2)
@@ -45,14 +54,17 @@ private[algos] object PathCentralitySmall {
     }
     val (offsets, targets) = {
       val deg = new Array[Int](nV)
-      rows.foreach { case (a, _) => deg(idx.get(a).intValue()) += 1 }
+      var i = 0
+      while (i < srcA.length) { deg(idx.get(srcA(i)).intValue()) += 1; i += 1 }
       val off = new Array[Int](nV + 1)
-      var i = 0; while (i < nV) { off(i + 1) = off(i) + deg(i); i += 1 }
+      i = 0; while (i < nV) { off(i + 1) = off(i) + deg(i); i += 1 }
       val pos = off.clone()
-      val tgt = new Array[Int](rows.length)
-      rows.foreach { case (a, b) =>
-        val ia = idx.get(a).intValue()
-        tgt(pos(ia)) = idx.get(b).intValue(); pos(ia) += 1
+      val tgt = new Array[Int](srcA.length)
+      i = 0
+      while (i < srcA.length) {
+        val ia = idx.get(srcA(i)).intValue()
+        tgt(pos(ia)) = idx.get(dstA(i)).intValue(); pos(ia) += 1
+        i += 1
       }
       (off, tgt)
     }
@@ -90,10 +102,10 @@ private[algos] object PathCentralitySmall {
   }
 
   /** Driver-local twin of [[ApproxCloseness.run]]'s estimator. */
-  def closenessLocal(spark: SparkSession, rows: Array[(Long, Long)],
+  def closenessLocal(spark: SparkSession, adjRows: (Array[Long], Array[Long]),
                      sources: Array[Long], n: Long, kEff: Long,
                      maxLevels: Int): DataFrame = {
-    val adj = new Adj(rows)
+    val adj = new Adj(adjRows._1, adjRows._2)
     val sd = new Array[Long](adj.nV)
     val r = new Array[Long](adj.nV)
     sources.foreach { s =>
@@ -132,11 +144,11 @@ private[algos] object PathCentralitySmall {
     * sigma (integer-valued double sums — exact under any order) and
     * identical backward quantization points on the portable path.
     */
-  def betweennessLocal(spark: SparkSession, rows: Array[(Long, Long)],
+  def betweennessLocal(spark: SparkSession, adjRows: (Array[Long], Array[Long]),
                        sources: Array[Long], n: Long, kEff: Long,
                        maxLevels: Int, normalized: Boolean,
                        portableSum: Boolean): DataFrame = {
-    val adj = new Adj(rows)
+    val adj = new Adj(adjRows._1, adjRows._2)
     val SCALE = 1e12
     def quant(x: Double): BigInt =
       BigDecimal(graft.functions.PortableRound.halfUp(x * SCALE)).toBigInt

@@ -56,7 +56,13 @@ object TriangleCount {
     */
   def globalCount(spark: SparkSession, edges: DataFrame): DataFrame = {
     import spark.implicits._
-    val o = orient(spark, edges)
+    // materialize the edge pipeline and the oriented table ONCE
+    // (optimization round 6): the final aggregate's plan references the
+    // orient subtree three times (adjacency build + both attach joins),
+    // each copy re-executing the edge scan+distinct and both degree
+    // joins — checkpointing `e` and `o` pins them to single executions
+    val e = graft.core.Lineage.truncate(edges.select("src", "dst"))
+    val o = graft.core.Lineage.truncate(orient(spark, e))
     // adjacency arrays SORTED at build so the per-edge intersection is a
     // zero-allocation two-pointer merge (SortedIntersectCount codegen
     // expression) instead of array_intersect's per-row hash set. The
@@ -74,6 +80,8 @@ object TriangleCount {
       .select(graft.functions.SortedIntersectCount(col("ns"), col("nd")).as("t"))
       .agg(coalesce(sum(col("t")), lit(0L))).head().getLong(0)
     adj.unpersist(false)
+    graft.core.Lineage.release(o)
+    graft.core.Lineage.release(e)
     Seq(n).toDF("triangles")
   }
 
@@ -81,7 +89,8 @@ object TriangleCount {
     * in no triangle are omitted.
     */
   def perVertex(spark: SparkSession, edges: DataFrame): DataFrame = {
-    val o = orient(spark, edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val e = graft.core.Lineage.truncate(edges.select("src", "dst"))
+    val o = orient(spark, e).persist(StorageLevel.MEMORY_AND_DISK)
     val e1 = o.select(col("src").as("a"), col("dst").as("b"), col("ddeg").as("bd"))
     val e2 = o.select(col("src").as("a"), col("dst").as("c"), col("ddeg").as("cd"))
     val wedges = e1.join(e2, Seq("a"))
@@ -95,6 +104,7 @@ object TriangleCount {
       tris.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
         .groupBy("id").agg(count(lit(1)).as("triangles")))
     o.unpersist(false)
+    graft.core.Lineage.release(e)
     out
   }
 }

@@ -65,10 +65,18 @@ object ForceLayout {
   def run(spark: SparkSession, edges: DataFrame, positions: DataFrame,
           iterations: Int, cfg: Config = Config()): DataFrame = {
     val d = cfg.d
-    // stable edge ordinals (deterministic across parallelism)
+    // stable edge ordinals (deterministic across parallelism — the ids
+    // depend only on the (src, dst) sort order, so sizing the range
+    // width to the data changes nothing). Counting first lets the
+    // dense-id pass run at the guide-sized width instead of the session
+    // width on small inputs.
+    val edgeCount = edges.count()
+    val sessionP = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val denseP = graft.core.LoopConf.smallRegime(spark, edgeCount)
+      .getOrElse(sessionP)
     val eidEdges = Ids.dense(spark, edges.select("src", "dst"),
-      Seq("src", "dst"), "eid").persist(StorageLevel.MEMORY_AND_DISK)
-    val edgeCount = eidEdges.count()
+      Seq("src", "dst"), "eid", partitions = denseP)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sampleSize = math.min(cfg.sampleSize, edgeCount).toInt
 
     // The sampled-edge IDENTITY is iteration-independent (quirk #1: the
@@ -105,7 +113,26 @@ object ForceLayout {
     val broadcastState = vCount <= cfg.broadcastVertices
     def stateSide(df: DataFrame): DataFrame =
       if (broadcastState) broadcast(df) else df
-    while (iter < iterations) {
+    // fixed-shape superstep tuning: AQE off + data-sized shuffle width
+    // in the small regime (graft.core.LoopConf; data-derived gate).
+    // The kNN aggregation is the one COMPUTE-bound stage in the loop
+    // (E x sample distance updates), so its repartition keeps the full
+    // SESSION width — read here, before the loop override narrows the
+    // shuffle setting to the data-sized width.
+    val knnP = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val small = graft.core.LoopConf.smallRegime(spark, 2L * edgeCount)
+    graft.core.LoopConf.withLoop(spark, small) {
+    // empty layout: no state to iterate (the stats collect below would
+    // otherwise read a null aggregate row); returns the empty positions
+    // frame unchanged, like the old all-lazy loop did
+    val dbg = sys.env.contains("GRAFT_LAYOUT_DEBUG")
+    def phase[A](label: String)(f: => A): A =
+      if (!dbg) f else {
+        val t0 = System.nanoTime(); val r = f
+        System.err.println(f"[layout] $label: ${(System.nanoTime()-t0)/1e9}%.3f s")
+        r
+      }
+    while (iter < iterations && vCount > 0) {
       // gather endpoint positions
       val ep = eidEdges
         .join(stateSide(pos.select(col("id").as("src"), col("pos").as("p1"))), "src")
@@ -160,8 +187,8 @@ object ForceLayout {
       // repartitioned first: AQE coalesces the (tiny at test scale)
       // E-row shuffle into ~1 partition, which would serialize the
       // per-partition partial aggregation.
-      val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
-      val sampleRows = sampled.orderBy(col("i_eid")).collect()
+      val p = knnP
+      val sampleRows = phase("sample collect")(sampled.orderBy(col("i_eid")).collect())
       val qids = sampleRows.map(_.getLong(0))
       val qvecs = sampleRows.map(_.getSeq[Double](5).toArray)
       val sampledT = spark.createDataFrame(
@@ -174,12 +201,17 @@ object ForceLayout {
       // element 0 is the nearest midpoint (self at d2=0, or an exactly
       // coincident midpoint with a smaller eid — same drop rule as the
       // old rn=1 filter); keep elements 1..k
-      val knn = topk.join(broadcast(sampledT), "i_eid")
+      // the exploded candidate list is sample x k rows (KBs) against the
+      // E-row midpoint table: broadcast it EXPLICITLY — with AQE off in
+      // the small regime the static size estimate of an agg+explode
+      // subtree is huge, and the planner would otherwise shuffle+sort
+      // all E midpoints per superstep in a SortMergeJoin
+      val knn = broadcast(topk.join(broadcast(sampledT), "i_eid")
         .select(col("i_eid"), col("i_src"), col("i_dst"),
           col("ip1"), col("ip2"), posexplode(col("nn")))
         .where(col("pos") >= 1)
         .select(col("i_eid"), col("i_src"), col("i_dst"),
-          col("ip1"), col("ip2"), col("col.j_eid").as("j_eid"))
+          col("ip1"), col("ip2"), col("col.j_eid").as("j_eid")))
         .join(mids.select(col("eid").as("j_eid"), col("src").as("j_src"),
           col("dst").as("j_dst"), col("p1").as("jp1"), col("p2").as("jp2")),
           "j_eid")
@@ -230,25 +262,35 @@ object ForceLayout {
         .select(col("id"), zip_with(col("pos"),
           coalesce(col("force"), array((0 until d).map(_ => lit(0.0)): _*)),
           (p, f) => p + f).as("pos"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
 
-      // z-score normalize per dimension (population std + 1e-6)
+      // z-score normalize per dimension (population std + 1e-6).
+      // `moved` is persisted and the stats aggregate is its
+      // materializing action: the old crossJoin(broadcast(stats)) shape
+      // computed the ENTIRE force pipeline twice per superstep — once
+      // for the stats broadcast job, once again for the state
+      // materialization, since `moved` was never cached. The collected
+      // stats are re-injected as literals (the identical doubles the
+      // broadcast carried), so the normalization arithmetic — and the
+      // committed radii drift fixture — is unchanged.
       val statCols = (0 until d).flatMap(j => Seq(
         avg(element_at(col("pos"), j + 1)).as(s"m$j"),
         stddev_pop(element_at(col("pos"), j + 1)).as(s"s$j")))
-      val stats = moved.agg(statCols.head, statCols.tail: _*)
-      val normalized = moved.crossJoin(broadcast(stats))
+      val statRow = phase("stats agg (materializes moved)")(moved.agg(statCols.head, statCols.tail: _*).head())
+      val normalized = moved
         .select(col("id"), array((0 until d).map(j =>
-          (element_at(col("pos"), j + 1) - col(s"m$j")) /
-            (col(s"s$j") + lit(1e-6))): _*).as("pos"))
+          (element_at(col("pos"), j + 1) - lit(statRow.getDouble(2 * j))) /
+            (lit(statRow.getDouble(2 * j + 1)) + lit(1e-6))): _*).as("pos"))
 
-      val next = cfg.checkpoint match {
+      val next = phase("truncate normalized")(cfg.checkpoint match {
         case Some(cm) if (iter + 1) % cfg.checkpointInterval == 0 ||
           iter == iterations - 1 =>
           cm.commit(iter, normalized, Map("iteration" -> iter.toDouble))
         case _ => graft.core.Lineage.truncate(normalized)
-      }
+      })
       ep.unpersist(false)
       mids.unpersist(false)
+      moved.unpersist(false)
       graft.core.Lineage.release(pos) // next is materialized; old state is dead
       pos = next
       cfg.progress.foreach(_(iter, Map(
@@ -257,6 +299,7 @@ object ForceLayout {
         "sample_size" -> sampleSize.toDouble,
         "elapsed_secs" -> (System.nanoTime() - runT0) / 1e9)))
       iter += 1
+    }
     }
     graft.core.Lineage.release(sampledEdges)
     eidEdges.unpersist(false)

@@ -61,24 +61,45 @@ object SpectralInit {
           gramTol: Double = 1e-9, localCap: Int = LocalCap,
           localEdgeCap: Long = LocalEdgeCap): DataFrame = {
     val k = d + 1
+    // Gate on the CHEAP count first (optimization round 6): the old
+    // order materialized a distributed degree table just to learn the
+    // vertex count, then threw it away on the local path — ~1/3 of the
+    // local route's wall. Under the edge cap the edge list is collected
+    // once and the vertex count derived from it; only if that reveals
+    // more than localCap vertices (possible only in the narrow band
+    // 100k < V <= 2E) does the distributed loop run, with deg built
+    // below as before.
+    val eCount = edges.count()
+    if (eCount == 0) {
+      // empty edge table: the distributed loop's Gram aggregate over
+      // zero rows returns an all-null row and NPEs on getDouble —
+      // return the empty positions frame
+      import spark.implicits._
+      return Seq.empty[(Long, Seq[Double])].toDF("id", "pos")
+    }
+    if (eCount <= localEdgeCap) {
+      // two primitive long arrays — no per-row tuple boxing (same
+      // posture as PathCentralitySmall.Adj)
+      val rows = edges.select("src", "dst").collect()
+      val srcA = new Array[Long](rows.length)
+      val dstA = new Array[Long](rows.length)
+      var i = 0
+      while (i < rows.length) {
+        val r = rows(i); srcA(i) = r.getLong(0); dstA(i) = r.getLong(1); i += 1
+      }
+      val nV = {
+        val s = new java.util.HashSet[java.lang.Long](rows.length * 2)
+        var j = 0
+        while (j < srcA.length) { s.add(srcA(j)); s.add(dstA(j)); j += 1 }
+        s.size
+      }
+      if (nV <= localCap)
+        return runLocal(spark, srcA, dstA, d, maxIter, seed, gramTol)
+    }
     val nbrs = Edges.neighbors(edges)
     val deg = Edges.degrees(edges)
       .select(col("id"), col("degree").cast("double").as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val vCount = deg.count()
-    val eCount = edges.count()
-    if (vCount == 0) {
-      // an empty edge table previously fell through to the distributed
-      // loop, whose Gram aggregate over zero rows returns an all-null
-      // row and NPEs on getDouble — return the empty positions frame
-      deg.unpersist(false)
-      import spark.implicits._
-      return Seq.empty[(Long, Seq[Double])].toDF("id", "pos")
-    }
-    if (vCount <= localCap && eCount <= localEdgeCap) {
-      deg.unpersist(false)
-      return runLocal(spark, edges, d, maxIter, seed, gramTol)
-    }
     // pre-shuffled ONCE on the per-iteration join key: every SpMV's
     // gather join then reuses this exchange instead of reshuffling the
     // (big) weighted adjacency each iteration. The shuffle width is
@@ -193,30 +214,76 @@ object SpectralInit {
     * LocalCap): same sqrt(deg)/hash init, same y = (x + Mx)/2 update,
     * same Gram/Cholesky orthonormalization and stop.
     */
-  private def runLocal(spark: SparkSession, edges: DataFrame, d: Int,
+  private def runLocal(spark: SparkSession, srcA: Array[Long],
+                       dstA: Array[Long], d: Int,
                        maxIter: Int, seed: Long, gramTol: Double): DataFrame = {
     val k = d + 1
-    val es = edges.select("src", "dst").collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-    val ids = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
-    val idx = ids.zipWithIndex.toMap
+    val ids: Array[Long] = {
+      val all = new Array[Long](srcA.length * 2)
+      System.arraycopy(srcA, 0, all, 0, srcA.length)
+      System.arraycopy(dstA, 0, all, srcA.length, dstA.length)
+      java.util.Arrays.sort(all)
+      var w = 0
+      var j = 0
+      while (j < all.length) {
+        if (w == 0 || all(j) != all(w - 1)) { all(w) = all(j); w += 1 }
+        j += 1
+      }
+      java.util.Arrays.copyOf(all, w)
+    }
+    val idx = {
+      val m = new java.util.HashMap[java.lang.Long, Integer](ids.length * 2)
+      var j = 0; while (j < ids.length) { m.put(ids(j), j); j += 1 }
+      m
+    }
     val n = ids.length
-    val degA = new Array[Int](n)
-    es.foreach { case (a, b) => degA(idx(a)) += 1; degA(idx(b)) += 1 }
+    val degA: Array[Int] = {
+      val dA = new Array[Int](n)
+      var j = 0
+      while (j < srcA.length) {
+        dA(idx.get(srcA(j)).intValue()) += 1
+        dA(idx.get(dstA(j)).intValue()) += 1
+        j += 1
+      }
+      dA
+    }
     val rowPtr = new Array[Int](n + 1)
     var i = 0
     while (i < n) { rowPtr(i + 1) = rowPtr(i) + degA(i); i += 1 }
-    val colIdx = new Array[Int](rowPtr(n))
-    val cursor = rowPtr.clone()
-    es.foreach { case (a, b) =>
-      val (ia, ib) = (idx(a), idx(b))
-      colIdx(cursor(ia)) = ib; cursor(ia) += 1
-      colIdx(cursor(ib)) = ia; cursor(ib) += 1
+    val colIdx: Array[Int] = {
+      val cIdx = new Array[Int](rowPtr(n))
+      val cursor = rowPtr.clone()
+      var j = 0
+      while (j < srcA.length) {
+        val ia = idx.get(srcA(j)).intValue()
+        val ib = idx.get(dstA(j)).intValue()
+        cIdx(cursor(ia)) = ib; cursor(ia) += 1
+        cIdx(cursor(ib)) = ia; cursor(ib) += 1
+        j += 1
+      }
+      cIdx
     }
     // NOTE: 1/sqrt(deg_v * deg_u) as ONE sqrt, exactly like the
     // distributed path's `w` column (sqrt(a*b) != sqrt(a)*sqrt(b) in
-    // the last ulp; parity matters for the cross-path test)
+    // the last ulp; parity matters for the cross-path test). The weight
+    // is hoisted into a per-CSR-entry array (optimization round 6): the
+    // old loop recomputed the sqrt per edge per column per iteration —
+    // ~2E*k*iters sqrt+div, the bulk of the local route's compute. Same
+    // double computed once, bit-identical accumulation.
     val degD = degA.map(_.toDouble)
+    val wCsr: Array[Double] = {
+      val w = new Array[Double](rowPtr(n))
+      var v = 0
+      while (v < n) {
+        var e = rowPtr(v)
+        while (e < rowPtr(v + 1)) {
+          w(e) = 1.0 / math.sqrt(degD(v) * degD(colIdx(e)))
+          e += 1
+        }
+        v += 1
+      }
+      w
+    }
 
     var x = Array.tabulate(n, k) { (v, j) =>
       if (j == 0) math.sqrt(degA(v).toDouble)
@@ -235,8 +302,7 @@ object SpectralInit {
           var s = 0.0
           var e = rowPtr(v)
           while (e < rowPtr(v + 1)) {
-            val u = colIdx(e)
-            s += x(u)(c) * (1.0 / math.sqrt(degD(v) * degD(u)))
+            s += x(colIdx(e))(c) * wCsr(e)
             e += 1
           }
           y(v)(c) = (x(v)(c) + s) * 0.5

@@ -136,9 +136,29 @@ object EventStreams {
       val wmUs = state.getCurrentWatermarkMs() * 1000L
       var cur = state.getOption
         .getOrElse(SessState(-1L, 0L, 0L, 0L, 0.0, open = false, Nil))
-      val (fin, keep) = (cur.buf ++ incoming).partition(_._1 < wmUs)
+      // `buf` is maintained SORTED by (us, event_id) (round-5 advice):
+      // only the incoming batch is sorted (O(i log i)), merged with the
+      // sorted buffer in O(|buf| + i), and the finalized prefix splits
+      // off already ordered — the old concat + partition + full re-sort
+      // was O((|buf| + i) log(|buf| + i)) per trigger for a hot key.
+      // Fold order is identical (same (us, event_id) total order).
+      val incSorted = incoming.sortBy(e => (e._1, e._2)).toIndexedSeq
+      val merged = {
+        val b = cur.buf.toIndexedSeq; val n = b.length + incSorted.length
+        val m = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double)](n)
+        var i = 0; var j = 0
+        while (i < b.length && j < incSorted.length) {
+          val x = b(i); val y = incSorted(j)
+          if (x._1 < y._1 || (x._1 == y._1 && x._2 <= y._2)) { m += x; i += 1 }
+          else { m += y; j += 1 }
+        }
+        while (i < b.length) { m += b(i); i += 1 }
+        while (j < incSorted.length) { m += incSorted(j); j += 1 }
+        m
+      }
+      val (fin, keep) = merged.span(_._1 < wmUs)
       val out = Seq.newBuilder[SessionRow]
-      fin.sortBy(e => (e._1, e._2)).foreach { case (us, _, v) =>
+      fin.foreach { case (us, _, v) =>
         // us >= cur.lastUs by construction: every already-finalized
         // event was below some earlier watermark, us is above it
         if (cur.open && us - cur.lastUs <= gapUs)
@@ -153,7 +173,7 @@ object EventStreams {
         out += closed(user, cur)
         cur = cur.copy(n = 0L, sum = 0.0, open = false)
       }
-      val next = cur.copy(buf = keep)
+      val next = cur.copy(buf = keep.toSeq)
       state.update(next)
       if (next.open || next.buf.nonEmpty) {
         // wake when the watermark can close the open session or

@@ -75,21 +75,38 @@ object Dedup {
 
   /** The one copy of the signature -> band-bucket pipeline, shared by
     * [[lshBuckets]] and [[minHashNearDups]]. Input: an (id, sh) frame.
+    *
+    * On the portable path the per-shingle rolling-hash fingerprints are
+    * materialized as their own projection BEFORE the seeded min-fold
+    * (optimization round 6): inlined, the `fps` expression tree is
+    * duplicated into each of the numHashes aggregate lambdas and
+    * higher-order-function codegen does not common them up — the
+    * per-character fingerprint fold ran numHashes times per document.
+    * Same arithmetic, evaluated once.
     */
   private def bandedBuckets(sh: DataFrame, numHashes: Int, bands: Int,
                             portableHash: Boolean): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sig =
-      if (portableHash) minHashSignaturePortable(col("sh"), numHashes)
-      else minHashSignature(col("sh"), numHashes)
     def bandBucket(b: Column): Column = {
       val sl = slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
       if (portableHash)
         aggregate(sl, lit(0L), (a, v) => (a * 31L + v) % 1000000007L)
       else xxhash64(concat_ws(",", sl))
     }
-    sh.where(size(col("sh")) > 0)
-      .select(col("id"), sig.as("sig"))
+    val nonEmpty = sh.where(size(col("sh")) > 0)
+    val sigged =
+      if (portableHash)
+        nonEmpty
+          .select(col("id"),
+            transform(col("sh"), s => TextOps.rollingHash(s)).as("fps"))
+          .select(col("id"),
+            transform(sequence(lit(0), lit(numHashes - 1)),
+              k => aggregate(col("fps"), lit(Long.MaxValue),
+                (acc, f) => least(acc, seededPortable(f, k)))).as("sig"))
+      else
+        nonEmpty.select(col("id"),
+          minHashSignature(col("sh"), numHashes).as("sig"))
+    sigged
       .select(col("id"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)), b => bandBucket(b))))
       .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
