@@ -191,7 +191,11 @@ object SparkEntry {
     // ranks — and therefore rho — are exactly comparable)
     "q_spearman_deg_pr" -> ((s, dir) => {
       // one materialization of the edge pipeline feeds both the degree
-      // table and the PageRank adjacency (was two full executions)
+      // table and the PageRank adjacency (was two full executions).
+      // Measured and rejected: wrapping the evaluation in the
+      // small-regime loop conf (AQE off) — the probe-collect's one big
+      // multi-join action benefits from AQE's runtime broadcasts more
+      // than it pays in re-planning (2.47s -> 2.94s when forced off).
       val e = graft.core.Lineage.truncate(edges(s, dir))
       val deg = Edges.degrees(e)
       val pr = PageRank.fixedIterUndirected(e, 5, portableSum = true)

@@ -64,6 +64,21 @@ object ApproxBetweenness {
     // cache the edge pipeline once — shared by nbrs/verts/explicitSources
     // (same rationale as ApproxCloseness.run)
     edges.persist(StorageLevel.MEMORY_AND_DISK)
+    // explicit-source local short-circuit: one pass over the cached
+    // edges derives everything (see ApproxCloseness.run for the
+    // equivalence argument — n is the adjacency endpoint count, kEff
+    // the collected source count)
+    if (explicitSources.isDefined &&
+        2L * edges.count() <= localNbrRowCap) {
+      val adjRows = ApproxCloseness.collectAdj(Edges.neighbors(edges))
+      val srcs = ApproxCloseness.collectSources(explicitSources.get)
+      val nLocal = ApproxCloseness.localVertexCount(adjRows)
+      val out = PathCentralitySmall.betweennessLocal(
+        spark, adjRows, srcs, nLocal, srcs.length.toLong, maxLevels,
+        normalized, portableSum)
+      edges.unpersist(false)
+      return out
+    }
     val nbrs = Edges.neighbors(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val verts = Edges.vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val n = verts.count()

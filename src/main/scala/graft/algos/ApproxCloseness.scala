@@ -72,6 +72,25 @@ object ApproxCloseness {
     // derived frame (2-3x per run). CacheManager plan-matching also
     // covers the caller's explicitSources expression.
     edges.persist(StorageLevel.MEMORY_AND_DISK)
+    // Explicit-source local short-circuit: with caller-chosen sources
+    // nothing distributed is needed beyond ONE pass over the cached
+    // edges — the vertex count is the adjacency's endpoint count
+    // (identical to Edges.vertices on a canonical table) and kEff is
+    // the collected source count, so the verts/nbrs frames, their
+    // caches and their counting jobs (a dozen scheduler round-trips on
+    // benchmark-scale graphs) are skipped entirely. The hash-sample
+    // path below still derives its sample from the distributed verts
+    // frame (Spark xxhash64 ordering is not replicated driver-side).
+    if (explicitSources.isDefined &&
+        2L * edges.count() <= localNbrRowCap) {
+      val adjRows = collectAdj(Edges.neighbors(edges))
+      val srcs = collectSources(explicitSources.get)
+      val nLocal = localVertexCount(adjRows)
+      val out = PathCentralitySmall.closenessLocal(
+        spark, adjRows, srcs, nLocal, srcs.length.toLong, maxLevels)
+      edges.unpersist(false)
+      return out
+    }
     val nbrs = Edges.neighbors(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val verts = Edges.vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val n = verts.count()
@@ -157,4 +176,14 @@ object ApproxCloseness {
 
   private[algos] def collectSources(sources: DataFrame): Array[Long] =
     sources.collect().map(_.getLong(0))
+
+  /** Distinct endpoint count of a collected adjacency — identical to
+    * Edges.vertices(edges).count() on a canonical edge table.
+    */
+  private[algos] def localVertexCount(adj: (Array[Long], Array[Long])): Long = {
+    val s = new java.util.HashSet[java.lang.Long](adj._1.length * 2)
+    var i = 0
+    while (i < adj._1.length) { s.add(adj._1(i)); s.add(adj._2(i)); i += 1 }
+    s.size.toLong
+  }
 }

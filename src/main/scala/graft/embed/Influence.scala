@@ -55,7 +55,11 @@ object Influence {
     var frontier = active                                  // newly active
     var rounds = 0
     var total = active.count()
-    while (rounds < maxIter && frontier.limit(1).count() > 0) {
+    // the frontier size is always known (seed count, then each round's
+    // newly-count) — the old limit(1).count() probe was one extra job
+    // per cascade round
+    var frontierSize = total
+    while (rounds < maxIter && frontierSize > 0) {
       val open =
         if (portableHash) portableCoin(col("src"), col("dst"), trial) < thresh
         else DetRandom.uniform(7777L + trial, col("src"), col("dst")) < p
@@ -66,6 +70,7 @@ object Influence {
       val newly = graft.core.Lineage.truncate(
         attempts.join(active, Seq("id"), "left_anti"))
       val nNew = newly.count()
+      frontierSize = nNew
       if (nNew == 0) {
         if (frontier ne active) graft.core.Lineage.release(frontier)
         frontier = newly
