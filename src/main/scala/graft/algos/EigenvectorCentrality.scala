@@ -100,7 +100,7 @@ object EigenvectorCentrality {
                 portableSum: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val nbrs = graft.core.Lineage.truncate(
+    val nbrs = graft.core.Lineage.truncatePartitioned(
       Edges.neighbors(edges).repartition(p, col("id")))
     val verts = nbrs.select(col("id")).distinct()
     var x = verts.select(col("id"), lit(1.0).as("score"))

@@ -28,7 +28,7 @@ object LabelPropagation {
     // materialized: each superstep's join then only shuffles the V-row
     // label state (the old persist left nbrs scan-partitioned, so the
     // 2E-row side was re-shuffled every iteration)
-    val nbrs = graft.core.Lineage.truncate(
+    val nbrs = graft.core.Lineage.truncatePartitioned(
       Edges.neighbors(edges).repartition(p, col("nbr")))
     // initial labels from the materialized adjacency — same vertex set
     // as Edges.vertices on a canonical edge table, without a second

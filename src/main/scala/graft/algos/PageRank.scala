@@ -197,12 +197,12 @@ object PageRank {
                           portableSum: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val nbrs = graft.core.Lineage.truncate(
+    val nbrs = graft.core.Lineage.truncatePartitioned(
       Edges.neighbors(edges).repartition(p, col("id")))
     // deg inherits the id-hash partitioning (no exchange); materialized
     // so the per-iteration joins scan a pinned RDD instead of
     // re-aggregating
-    val deg = graft.core.Lineage.truncate(
+    val deg = graft.core.Lineage.truncatePartitioned(
       nbrs.groupBy("id").agg(count(lit(1)).cast("double").as("deg")))
     val n = deg.count()
     // same doubles as the old crossJoin(count(*)) form: 1.0 / n and

@@ -21,6 +21,24 @@ import org.apache.spark.sql.graftbridge.Bridge
 object Lineage {
   def truncate(df: DataFrame): DataFrame = Bridge.localCheckpointFresh(df)
 
+  /** truncate() for frames that were EXPLICITLY pre-partitioned
+    * (repartition(p, key)) so that downstream joins/aggregations can
+    * reuse the layout: under AQE the checkpoint captures the
+    * AdaptiveSparkPlanExec BEFORE finalization, whose outputPartitioning
+    * is UnknownPartitioning — every later join then re-shuffles the
+    * checkpointed table (measured: the pre-shuffled 2E-row adjacency
+    * was re-exchanged EVERY PageRank iteration). Planning the
+    * checkpoint statement with AQE off records the real
+    * HashPartitioning; AQE is restored immediately after.
+    */
+  def truncatePartitioned(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val was = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try Bridge.localCheckpointFresh(df)
+    finally spark.conf.set("spark.sql.adaptive.enabled", was)
+  }
+
   /** Lazy variant: lineage is cut but materialization happens on the
     * caller's first action — use when that action is an aggregate you
     * need anyway (e.g. a convergence delta), folding two jobs into one.

@@ -74,15 +74,21 @@ object Dedup {
       numHashes, bands, portableHash)
 
   /** The one copy of the signature -> band-bucket pipeline, shared by
-    * [[lshBuckets]] and [[minHashNearDups]]. Input: an (id, sh) frame.
+    * [[lshBuckets]] and [[minHashNearDups]]. Input: an (id, sh) frame,
+    * optionally already carrying an `fps` column (the per-shingle
+    * rolling-hash fingerprints).
     *
-    * On the portable path the per-shingle rolling-hash fingerprints are
-    * materialized as their own projection BEFORE the seeded min-fold
-    * (optimization round 6): inlined, the `fps` expression tree is
-    * duplicated into each of the numHashes aggregate lambdas and
-    * higher-order-function codegen does not common them up — the
-    * per-character fingerprint fold ran numHashes times per document.
-    * Same arithmetic, evaluated once.
+    * Portable-path evaluation-count note (optimization round 6):
+    * Catalyst COLLAPSES adjacent projections, re-inlining a derived
+    * column's expression into every use — a plain
+    * `.withColumn("fps", ...)` here ends up duplicated into each of the
+    * numHashes aggregate lambdas, so the per-character fingerprint fold
+    * runs numHashes times per document (and the shingle construction
+    * with it, measured 6x wall on the sf0.1 corpus). Only a
+    * MATERIALIZATION BARRIER stops the re-inlining: minHashNearDups
+    * passes a frame whose `fps` is a cached column; standalone callers
+    * without a cache (lshBuckets) accept the inline cost at their small
+    * scale.
     */
   private def bandedBuckets(sh: DataFrame, numHashes: Int, bands: Int,
                             portableHash: Boolean): DataFrame = {
@@ -93,16 +99,17 @@ object Dedup {
         aggregate(sl, lit(0L), (a, v) => (a * 31L + v) % 1000000007L)
       else xxhash64(concat_ws(",", sl))
     }
-    val nonEmpty = sh.where(size(col("sh")) > 0)
+    val withFps =
+      if (portableHash && !sh.columns.contains("fps"))
+        sh.withColumn("fps", transform(col("sh"), s => TextOps.rollingHash(s)))
+      else sh
+    val nonEmpty = withFps.where(size(col("sh")) > 0)
     val sigged =
       if (portableHash)
-        nonEmpty
-          .select(col("id"),
-            transform(col("sh"), s => TextOps.rollingHash(s)).as("fps"))
-          .select(col("id"),
-            transform(sequence(lit(0), lit(numHashes - 1)),
-              k => aggregate(col("fps"), lit(Long.MaxValue),
-                (acc, f) => least(acc, seededPortable(f, k)))).as("sig"))
+        nonEmpty.select(col("id"),
+          transform(sequence(lit(0), lit(numHashes - 1)),
+            k => aggregate(col("fps"), lit(Long.MaxValue),
+              (acc, f) => least(acc, seededPortable(f, k)))).as("sig"))
       else
         nonEmpty.select(col("id"),
           minHashSignature(col("sh"), numHashes).as("sig"))
@@ -128,11 +135,17 @@ object Dedup {
                       threshold: Double = 0.7, numHashes: Int = 16,
                       bands: Int = 8, maxBucket: Int = 10000,
                       portableHash: Boolean = false): DataFrame = {
-    // materialize shingles ONCE: both the LSH banding and the exact
-    // verification reuse them (recomputing the shingle+minhash column
-    // pipeline per join side dominated the wall-clock otherwise)
-    val sh = df.select(col(idCol).as("id"),
-        TextOps.shingles(col(textCol)).as("sh"))
+    // Shingles (and on the portable path the per-shingle fingerprints)
+    // are materialized ONCE into a cache: the cache is a hard
+    // materialization barrier, which is what actually guarantees
+    // single evaluation — see the collapse note on bandedBuckets. Both
+    // the banding and the candidate verification read this cache.
+    val sh = (if (portableHash)
+        df.select(col(idCol).as("id"), TextOps.shingles(col(textCol)).as("sh"))
+          .select(col("id"), col("sh"),
+            transform(col("sh"), s => TextOps.rollingHash(s)).as("fps"))
+      else
+        df.select(col(idCol).as("id"), TextOps.shingles(col(textCol)).as("sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = bandedBuckets(sh, numHashes, bands, portableHash)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
