@@ -36,8 +36,14 @@ object Ids {
     }
     val offsetsDf = spark.createDataFrame(offsets.toSeq).toDF("_pid", "_off")
     // Materialize before unpersisting: ids are only valid against the
-    // exact range bounds the offsets were collected from.
-    val out = Lineage.truncate(local.join(broadcast(offsetsDf), "_pid")
+    // exact range bounds the offsets were collected from. Planned with
+    // AQE off (truncatePartitioned): this function's contract is an
+    // EXPLICIT width p, but under AQE the window's internal exchange is
+    // advisory-coalesced to ~1-2 partitions before the checkpoint — the
+    // rank then runs nearly serial AND every downstream pass over the
+    // checkpointed frame inherits the accidental narrow layout. The ids
+    // themselves depend only on the global sort order either way.
+    val out = Lineage.truncatePartitioned(local.join(broadcast(offsetsDf), "_pid")
       .withColumn(idName, col("_off") + col("_rn") - 1L)
       .drop("_pid", "_rn", "_off"))
     ranged.unpersist(false)

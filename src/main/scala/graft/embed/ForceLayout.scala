@@ -66,16 +66,18 @@ object ForceLayout {
           iterations: Int, cfg: Config = Config()): DataFrame = {
     val d = cfg.d
     // stable edge ordinals (deterministic across parallelism — the ids
-    // depend only on the (src, dst) sort order, so sizing the range
-    // width to the data changes nothing). Counting first lets the
-    // dense-id pass run at the guide-sized width instead of the session
-    // width on small inputs.
+    // depend only on the (src, dst) sort order, so the shuffle width
+    // changes nothing). The cache is built at the FULL session width:
+    // every per-superstep pass over it (SampleKnn partials, spring
+    // explode, intersection probe) inherits its parallelism from these
+    // cache partitions, so the compute-bound passes stay wide even when
+    // the loop below narrows the shuffle width to the data. (The old
+    // shape cached at the guide width and paid an E-row repartition
+    // every superstep to win the parallelism back for the kNN
+    // aggregation alone, leaving the spring/intersection passes narrow.)
     val edgeCount = edges.count()
-    val sessionP = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val denseP = graft.core.LoopConf.smallRegime(spark, edgeCount)
-      .getOrElse(sessionP)
     val eidEdges = Ids.dense(spark, edges.select("src", "dst"),
-      Seq("src", "dst"), "eid", partitions = denseP)
+      Seq("src", "dst"), "eid")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sampleSize = math.min(cfg.sampleSize, edgeCount).toInt
 
@@ -83,13 +85,19 @@ object ForceLayout {
     // reference samples with PRNGKey(0) every iteration, so the subset
     // never changes) — select the sample_size smallest xxhash64(eid)
     // ONCE before the loop instead of re-running a global top-k over all
-    // E midpoints every superstep. Per iteration only the sample's
-    // positions are refreshed: two broadcast joins that stream the
-    // V-row position state, never the E-row edge table.
-    val sampledEdges = graft.core.Lineage.truncate(eidEdges
+    // E midpoints every superstep. The ≤sampleSize rows are
+    // config-bounded, so they live in a driver-local relation: each
+    // superstep's broadcast of the sample then builds from local rows
+    // with no executor job (a checkpointed 256-row RDD cost one tiny
+    // collect job per broadcast per superstep). Per iteration only the
+    // sample's positions are refreshed: two broadcast joins that stream
+    // the V-row position state, never the E-row edge table.
+    val sampledQuery = eidEdges
       .orderBy(xxhash64(col("eid")), col("eid")).limit(sampleSize)
       .select(col("eid").as("i_eid"), col("src").as("i_src"),
-        col("dst").as("i_dst")))
+        col("dst").as("i_dst"))
+    val sampledEdges = spark.createDataFrame(
+      java.util.Arrays.asList(sampledQuery.collect(): _*), sampledQuery.schema)
 
     // Resume from the latest committed layout snapshot, if any: the
     // layout is fully deterministic (fixed hash-ordered sample, quirk
@@ -114,12 +122,9 @@ object ForceLayout {
     def stateSide(df: DataFrame): DataFrame =
       if (broadcastState) broadcast(df) else df
     // fixed-shape superstep tuning: AQE off + data-sized shuffle width
-    // in the small regime (graft.core.LoopConf; data-derived gate).
-    // The kNN aggregation is the one COMPUTE-bound stage in the loop
-    // (E x sample distance updates), so its repartition keeps the full
-    // SESSION width — read here, before the loop override narrows the
-    // shuffle setting to the data-sized width.
-    val knnP = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // in the small regime (graft.core.LoopConf; data-derived gate). The
+    // compute-bound passes keep full parallelism regardless: they read
+    // the eidEdges/ep caches, which are built at the session width.
     val small = graft.core.LoopConf.smallRegime(spark, 2L * edgeCount)
     graft.core.LoopConf.withLoop(spark, small) {
     // empty layout: no state to iterate (the stats collect below would
@@ -133,10 +138,15 @@ object ForceLayout {
         r
       }
     while (iter < iterations && vCount > 0) {
-      // gather endpoint positions
+      // gather endpoint positions + midpoint in ONE cached E-row frame
+      // (the old shape cached `ep` and a derived `mids` separately —
+      // two E-row cache writes per superstep for the same rows; readers
+      // that don't need `mid` prune it from the shared cache scan)
       val ep = eidEdges
         .join(stateSide(pos.select(col("id").as("src"), col("pos").as("p1"))), "src")
         .join(stateSide(pos.select(col("id").as("dst"), col("pos").as("p2"))), "dst")
+        .select(col("eid"), col("src"), col("dst"), col("p1"), col("p2"),
+          zip_with(col("p1"), col("p2"), (a, b) => (a + b) * 0.5).as("mid"))
         .persist(StorageLevel.MEMORY_AND_DISK)
 
       // spring forces (2 rows per edge) — one explode pass per edge
@@ -158,11 +168,7 @@ object ForceLayout {
             transform(col("f"), x => -x).as("f")))).as("e"))
         .select(col("e.id").as("id"), col("e.f").as("f"))
 
-      // midpoints + fixed deterministic sample
-      val mids = ep.select(col("eid"), col("src"), col("dst"),
-        col("p1"), col("p2"),
-        zip_with(col("p1"), col("p2"), (a, b) => (a + b) * 0.5).as("mid"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val mids = ep
       // refresh the fixed sample's positions: broadcast the (tiny)
       // sampled edge set against the V-row position state — same
       // (p1+p2)*0.5 midpoint arithmetic as `mids`, bit-identical
@@ -190,17 +196,15 @@ object ForceLayout {
       // i_eid for a deterministic query order; re-wrapping the collected
       // rows as a LocalRelation makes the sample's re-join below a free
       // broadcast (no per-iteration eager-checkpoint job for the sample,
-      // which an earlier revision paid). mids is still explicitly
-      // repartitioned first: AQE coalesces the (tiny at test scale)
-      // E-row shuffle into ~1 partition, which would serialize the
-      // per-partition partial aggregation.
-      val p = knnP
+      // which an earlier revision paid). The partial aggregation's
+      // parallelism comes from the ep cache partitions, built at the
+      // session width above — no per-superstep E-row repartition.
       val sampleRows = phase("sample collect")(sampled.orderBy(col("i_eid")).collect())
       val qids = sampleRows.map(_.getLong(0))
       val qvecs = sampleRows.map(_.getSeq[Double](5).toArray)
       val sampledT = spark.createDataFrame(
         java.util.Arrays.asList(sampleRows: _*), sampled.schema)
-      val topk = mids.select(col("eid"), col("mid")).repartition(p)
+      val topk = mids.select(col("eid"), col("mid"))
         .agg(graft.functions.SampleKnn.knn(col("mid"), col("eid"),
           qids, qvecs, cfg.nNeighbors + 1).as("all"))
         .select(explode(col("all")).as("e"))
@@ -296,7 +300,6 @@ object ForceLayout {
         case _ => graft.core.Lineage.truncate(normalized)
       })
       ep.unpersist(false)
-      mids.unpersist(false)
       moved.unpersist(false)
       graft.core.Lineage.release(pos) // next is materialized; old state is dead
       pos = next
@@ -308,7 +311,6 @@ object ForceLayout {
       iter += 1
     }
     }
-    graft.core.Lineage.release(sampledEdges)
     eidEdges.unpersist(false)
     pos
   }
