@@ -1,6 +1,6 @@
 package graft.embed
 
-import breeze.linalg.{cholesky, inv, DenseMatrix}
+import breeze.linalg.DenseMatrix
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -78,9 +78,14 @@ object SpectralInit {
       return Seq.empty[(Long, Seq[Double])].toDF("id", "pos")
     }
     if (eCount <= localEdgeCap) {
+      val dbg = sys.env.contains("GRAFT_LAYOUT_DEBUG")
+      def ph[A](l: String)(f: => A): A = if (!dbg) f else {
+        val t0 = System.nanoTime(); val r = f
+        System.err.println(f"[spectral] $l: ${(System.nanoTime()-t0)/1e9}%.3f s"); r
+      }
       // two primitive long arrays — no per-row tuple boxing (same
       // posture as PathCentralitySmall.Adj)
-      val rows = edges.select("src", "dst").collect()
+      val rows = ph("edge collect")(edges.select("src", "dst").collect())
       val srcA = new Array[Long](rows.length)
       val dstA = new Array[Long](rows.length)
       var i = 0
@@ -94,7 +99,7 @@ object SpectralInit {
         s.size
       }
       if (nV <= localCap)
-        return runLocal(spark, srcA, dstA, d, maxIter, seed, gramTol)
+        return ph("runLocal")(runLocal(spark, srcA, dstA, d, maxIter, seed, gramTol))
     }
     val nbrs = Edges.neighbors(edges)
     val deg = Edges.degrees(edges)
@@ -175,7 +180,7 @@ object SpectralInit {
         gm(a, b) = g.getDouble(idx); gm(b, a) = gm(a, b); idx += 1
       }
       // X := Y * (L^T)^-1  with G = L L^T  => X^T X = I
-      val lInvT = inv(cholesky(gm)).t
+      val lInvT = cholInvT(gm, k)
       val coefCols = (0 until k).map { j =>
         (0 to j).map(i =>
           element_at(col("x"), i + 1) * lInvT(i, j))
@@ -188,9 +193,9 @@ object SpectralInit {
       toRelease = List(x, y)
       x = xn
       // convergence: Gram matrix (pre-orthonormalization) stabilizes
-      val delta = prevGram.map(pg => breeze.linalg.max(
-        breeze.numerics.abs(gm - pg))).getOrElse(Double.MaxValue)
-      val scale = breeze.linalg.max(breeze.numerics.abs(gm))
+      val delta = prevGram.map(pg => gramMaxAbsDelta(gm, Some(pg), k))
+        .getOrElse(Double.MaxValue)
+      val scale = gramMaxAbsDelta(gm, None, k)
       done = delta < gramTol * math.max(scale, 1e-12)
       prevGram = Some(gm)
       iter += 1
@@ -214,10 +219,91 @@ object SpectralInit {
     * LocalCap): same sqrt(deg)/hash init, same y = (x + Mx)/2 update,
     * same Gram/Cholesky orthonormalization and stop.
     */
+  /** (L^-1)^T for G = L L^T — the orthonormalization coefficient matrix
+    * both iteration paths apply. Hand-rolled k x k (k = d+1, tiny)
+    * Cholesky + forward-substitution inverse: the breeze
+    * `inv(cholesky(gm))` it replaces dispatched through the netlib
+    * LAPACK fallback at ~15 ms PER CALL on a 3x3 — ~0.9 s of every
+    * 60-iteration local solve. Shared by the local and distributed
+    * loops, so cross-path parity is preserved by construction.
+    */
+  /** max |gm - pg| entrywise (pg = None: max |gm|) — the Gram
+    * convergence check. Plain loops: the breeze
+    * `max(abs(gm - pg))` chain it replaces cost ~14 ms per CALL in
+    * generic UFunc dispatch on a 3x3, dominating the local solve after
+    * the Cholesky fix below. Same max over the same entries.
+    */
+  private def gramMaxAbsDelta(gm: DenseMatrix[Double],
+                              pg: Option[DenseMatrix[Double]],
+                              k: Int): Double = {
+    var m = 0.0
+    var a = 0
+    while (a < k) {
+      var b = 0
+      while (b < k) {
+        val d = pg match {
+          case Some(p) => math.abs(gm(a, b) - p(a, b))
+          case None => math.abs(gm(a, b))
+        }
+        if (d > m) m = d
+        b += 1
+      }
+      a += 1
+    }
+    m
+  }
+
+  private def cholInvT(gm: DenseMatrix[Double], k: Int): DenseMatrix[Double] = {
+    val L = Array.ofDim[Double](k, k)
+    var j = 0
+    while (j < k) {
+      var s = gm(j, j)
+      var p = 0
+      while (p < j) { s -= L(j)(p) * L(j)(p); p += 1 }
+      L(j)(j) = math.sqrt(s)
+      var i = j + 1
+      while (i < k) {
+        var t = gm(i, j)
+        p = 0
+        while (p < j) { t -= L(i)(p) * L(j)(p); p += 1 }
+        L(i)(j) = t / L(j)(j)
+        i += 1
+      }
+      j += 1
+    }
+    val M = Array.ofDim[Double](k, k) // M = L^-1, lower triangular
+    j = 0
+    while (j < k) {
+      M(j)(j) = 1.0 / L(j)(j)
+      var i = j + 1
+      while (i < k) {
+        var t = 0.0
+        var p = j
+        while (p < i) { t -= L(i)(p) * M(p)(j); p += 1 }
+        M(i)(j) = t / L(i)(i)
+        i += 1
+      }
+      j += 1
+    }
+    val out = DenseMatrix.zeros[Double](k, k)
+    var a = 0
+    while (a < k) {
+      var b = 0
+      while (b < k) { out(a, b) = M(b)(a); b += 1 }
+      a += 1
+    }
+    out
+  }
+
   private def runLocal(spark: SparkSession, srcA: Array[Long],
                        dstA: Array[Long], d: Int,
                        maxIter: Int, seed: Long, gramTol: Double): DataFrame = {
     val k = d + 1
+    val dbg = sys.env.contains("GRAFT_LAYOUT_DEBUG")
+    def ph2[A](l: String)(f: => A): A = if (!dbg) f else {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(f"[runLocal] $l: ${(System.nanoTime()-t0)/1e9}%.3f s"); r
+    }
     val ids: Array[Long] = {
       val all = new Array[Long](srcA.length * 2)
       System.arraycopy(srcA, 0, all, 0, srcA.length)
@@ -285,62 +371,142 @@ object SpectralInit {
       w
     }
 
-    var x = Array.tabulate(n, k) { (v, j) =>
-      if (j == 0) math.sqrt(degA(v).toDouble)
-      else graft.core.DetRandom.uniformLocal(seed + j, ids(v)) - 0.5
-    }
-    var iter = 0
-    var prevGram: Option[DenseMatrix[Double]] = None
-    var done = false
-    while (iter < maxIter && !done) {
-      // y = (x + Mx)/2, M = D^-1/2 A D^-1/2
-      val y = Array.ofDim[Double](n, k)
+    // state is ROW-MAJOR FLAT (x(v*k + c)): the old n x k nested arrays
+    // cost a pointer chase per SpMV access and the column-outer loop
+    // re-walked the CSR k times per vertex — ~2E*k*iters dependent
+    // loads, the bulk of the local route's wall. The fused edge loop
+    // below accumulates all k columns per edge; each column's sum still
+    // adds the identical terms in the identical edge order, so the
+    // result is bit-identical (the cross-path parity test pins this).
+    val x0 = new Array[Double](n * k)
+    locally {
       var v = 0
       while (v < n) {
-        var c = 0
-        while (c < k) {
-          var s = 0.0
-          var e = rowPtr(v)
-          while (e < rowPtr(v + 1)) {
-            s += x(colIdx(e))(c) * wCsr(e)
-            e += 1
-          }
-          y(v)(c) = (x(v)(c) + s) * 0.5
-          c += 1
+        x0(v * k) = math.sqrt(degA(v).toDouble)
+        var j = 1
+        while (j < k) {
+          x0(v * k + j) =
+            graft.core.DetRandom.uniformLocal(seed + j, ids(v)) - 0.5
+          j += 1
         }
         v += 1
       }
+    }
+    var x = x0
+    var iter = 0
+    var prevGram: Option[DenseMatrix[Double]] = None
+    var done = false
+    val loopT0 = System.nanoTime()
+    // SpMV vertex-range chunks, balanced by EDGE count: each vertex's
+    // accumulators are chunk-private, so running chunks on parallel
+    // driver threads leaves every per-vertex, per-column sum adding the
+    // identical terms in the identical edge order — bit-identical to
+    // the serial loop (the cross-path parity test pins this). Only the
+    // SpMV is parallelized; the Gram reduction stays serial because a
+    // partial-sum split WOULD change its addition order.
+    val chunkBounds: Array[Int] = {
+      val target = math.max(1L, rowPtr(n).toLong / 64L)
+      val b = Array.newBuilder[Int]
+      b += 0
+      var v = 0
+      var nextCut = target
+      while (v < n) {
+        if (rowPtr(v + 1).toLong >= nextCut && v + 1 < n) {
+          b += (v + 1); nextCut = rowPtr(v + 1).toLong + target
+        }
+        v += 1
+      }
+      b += n
+      b.result()
+    }
+    var tSpmv = 0L; var tGram = 0L; var tChol = 0L; var tXn = 0L
+    while (iter < maxIter && !done) {
+      val t0 = System.nanoTime()
+      // y = (x + Mx)/2, M = D^-1/2 A D^-1/2. k == 3 (d = 2) is the
+      // engine's layout default — unrolled registers instead of the
+      // k-length accumulator loop; term order per column is identical.
+      val y = new Array[Double](n * k)
+      val xc = x
+      java.util.stream.IntStream.range(0, chunkBounds.length - 1).parallel()
+        .forEach { ci =>
+          var v = chunkBounds(ci)
+          val vEnd = chunkBounds(ci + 1)
+          if (k == 3) {
+            while (v < vEnd) {
+              var a0 = 0.0; var a1 = 0.0; var a2 = 0.0
+              var e = rowPtr(v)
+              val end = rowPtr(v + 1)
+              while (e < end) {
+                val u = colIdx(e) * 3
+                val w = wCsr(e)
+                a0 += xc(u) * w; a1 += xc(u + 1) * w; a2 += xc(u + 2) * w
+                e += 1
+              }
+              val b = v * 3
+              y(b) = (xc(b) + a0) * 0.5
+              y(b + 1) = (xc(b + 1) + a1) * 0.5
+              y(b + 2) = (xc(b + 2) + a2) * 0.5
+              v += 1
+            }
+          } else {
+            val acc = new Array[Double](k)
+            while (v < vEnd) {
+              var c = 0
+              while (c < k) { acc(c) = 0.0; c += 1 }
+              var e = rowPtr(v)
+              while (e < rowPtr(v + 1)) {
+                val u = colIdx(e) * k
+                val w = wCsr(e)
+                var c2 = 0
+                while (c2 < k) { acc(c2) += xc(u + c2) * w; c2 += 1 }
+                e += 1
+              }
+              c = 0
+              while (c < k) { y(v * k + c) = (xc(v * k + c) + acc(c)) * 0.5; c += 1 }
+              v += 1
+            }
+          }
+        }
+      val t1 = System.nanoTime(); tSpmv += t1 - t0
       val gm = DenseMatrix.zeros[Double](k, k)
       for (a <- 0 until k; b <- a until k) {
         var s = 0.0
         var vv = 0
-        while (vv < n) { s += y(vv)(a) * y(vv)(b); vv += 1 }
+        while (vv < n) { s += y(vv * k + a) * y(vv * k + b); vv += 1 }
         gm(a, b) = s; gm(b, a) = s
       }
-      val lInvT = inv(cholesky(gm)).t
-      val xn = Array.ofDim[Double](n, k)
+      val t2 = System.nanoTime(); tGram += t2 - t1
+      val lInvT = cholInvT(gm, k)
+      val t3 = System.nanoTime(); tChol += t3 - t2
+      val xn = new Array[Double](n * k)
       var vv = 0
       while (vv < n) {
         var j = 0
         while (j < k) {
           var s = 0.0
           var i2 = 0
-          while (i2 <= j) { s += y(vv)(i2) * lInvT(i2, j); i2 += 1 }
-          xn(vv)(j) = s
+          while (i2 <= j) { s += y(vv * k + i2) * lInvT(i2, j); i2 += 1 }
+          xn(vv * k + j) = s
           j += 1
         }
         vv += 1
       }
       x = xn
-      val delta = prevGram.map(pg => breeze.linalg.max(
-        breeze.numerics.abs(gm - pg))).getOrElse(Double.MaxValue)
-      val scale = breeze.linalg.max(breeze.numerics.abs(gm))
+      tXn += System.nanoTime() - t3
+      val delta = prevGram.map(pg => gramMaxAbsDelta(gm, Some(pg), k))
+        .getOrElse(Double.MaxValue)
+      val scale = gramMaxAbsDelta(gm, None, k)
       done = delta < gramTol * math.max(scale, 1e-12)
       prevGram = Some(gm)
       iter += 1
     }
+    if (dbg) System.err.println(
+      f"[runLocal] loop: ${(System.nanoTime()-loopT0)/1e9}%.3f s, iters=$iter " +
+      f"(spmv ${tSpmv/1e9}%.3f gram ${tGram/1e9}%.3f chol ${tChol/1e9}%.3f xn ${tXn/1e9}%.3f)")
     import spark.implicits._
-    ids.indices.map(v => (ids(v), x(v).drop(1)))
-      .toDF("id", "pos")
+    val xf = x
+    ph2("toDF")(ids.indices.map(v =>
+      (ids(v), java.util.Arrays.copyOfRange(xf, v * k + 1, (v + 1) * k)))
+      .toDF("id", "pos"))
   }
 }
