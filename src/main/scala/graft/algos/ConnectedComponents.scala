@@ -5,7 +5,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 import graft.core.CheckpointManager
-import graft.graph.Edges
 
 /** Connected components via alternating small-star / large-star
   * (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -66,7 +65,6 @@ object ConnectedComponents {
     */
   def run(spark: SparkSession, edges: DataFrame, maxRounds: Int = 50,
           checkpoint: Option[CheckpointManager] = None): DataFrame = {
-    val verts = Edges.vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
     var e = edges.select(col("src").as("u"), col("dst").as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var firstE = true // initial e is dataset-persisted; successors are truncated
@@ -74,12 +72,22 @@ object ConnectedComponents {
       if (firstE) { df.unpersist(false); firstE = false }
       else graft.core.Lineage.release(df)
     var sig = checksum(e)
+    // vertex set from the CACHED edge table, materialized eagerly while
+    // that cache is still alive (the rounds below release it): deriving
+    // it from the caller's `edges` frame re-executed the whole upstream
+    // edge pipeline (scan + distinct) a second time at the final join.
+    // Same ids by construction — e is edges renamed.
+    val verts = e.select(col("u").as("id"))
+      .union(e.select(col("v").as("id"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    verts.count()
     var round = 0
     var done = false
     // Fixed-shape round tuning: AQE off + data-sized shuffle width in
     // the small regime (graft.core.LoopConf; data-derived gate — at
     // scale AQE stays on for its skew-join splitting of star-root keys)
-    val small = graft.core.LoopConf.smallRegime(spark, 2L * sig._1)
+    val small = graft.core.LoopConf.smallRegime(spark, 2L * sig._1,
+      rowsPerPartition = 62500L)
     graft.core.LoopConf.withLoop(spark, small) {
     while (!done && round < maxRounds) {
       // largeStar/smallStar each reference the edge set twice (the

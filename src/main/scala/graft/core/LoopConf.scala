@@ -27,13 +27,21 @@ object LoopConf {
     */
   val SmallRegimeRows = 8000000L
 
-  /** Shuffle width for `rows`-row supersteps: ~250k rows per partition,
-    * capped at the session width. None = large regime, leave the
-    * session configuration alone.
+  /** Shuffle width for `rows`-row supersteps: ~`rowsPerPartition` rows
+    * per partition, capped at the session width. None = large regime,
+    * leave the session configuration alone.
+    *
+    * `rowsPerPartition` defaults to the guide-sized 250k; loops whose
+    * superstep does SEVERAL sort/join passes over every row (e.g. the
+    * CC star rounds: symmetrize + two min-join supersteps + distinct)
+    * pass a smaller target so each task's repeated sorts stay short —
+    * still a DATA-derived width, never core-count derived.
     */
-  def smallRegime(spark: SparkSession, rows: Long): Option[Int] = {
+  def smallRegime(spark: SparkSession, rows: Long,
+                  rowsPerPartition: Long = 250000L): Option[Int] = {
     val sessionP = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val pEff = math.max(1L, math.min(sessionP.toLong, rows / 250000L + 1L)).toInt
+    val pEff = math.max(1L,
+      math.min(sessionP.toLong, rows / rowsPerPartition + 1L)).toInt
     if (rows <= SmallRegimeRows && pEff < sessionP) Some(pEff) else None
   }
 

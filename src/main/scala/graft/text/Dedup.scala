@@ -135,17 +135,30 @@ object Dedup {
                       threshold: Double = 0.7, numHashes: Int = 16,
                       bands: Int = 8, maxBucket: Int = 10000,
                       portableHash: Boolean = false): DataFrame = {
+    // The shingle/fingerprint evaluation is ~16 string hashes per
+    // shingle — far heavier per row than the (id, text) scan feeding
+    // it. A small corpus arrives as 1-2 scan splits, which would
+    // serialize the whole pass on 1-2 cores; widen to the session width
+    // first (a few MB of text shuffled once). Gated on the scan
+    // actually being narrower — a big corpus already scans wide and
+    // skips the exchange. Row placement cannot affect the output: the
+    // signature min-fold, band buckets, bucket counts and Jaccard are
+    // all per-row/per-pair deterministic.
+    val sessP = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val docs0 = df.select(col(idCol).as("id"), col(textCol).as("_text"))
+    val docs = if (docs0.rdd.getNumPartitions < sessP)
+      docs0.repartition(sessP) else docs0
     // Shingles (and on the portable path the per-shingle fingerprints)
     // are materialized ONCE into a cache: the cache is a hard
     // materialization barrier, which is what actually guarantees
     // single evaluation — see the collapse note on bandedBuckets. Both
     // the banding and the candidate verification read this cache.
     val sh = (if (portableHash)
-        df.select(col(idCol).as("id"), TextOps.shingles(col(textCol)).as("sh"))
+        docs.select(col("id"), TextOps.shingles(col("_text")).as("sh"))
           .select(col("id"), col("sh"),
             transform(col("sh"), s => TextOps.rollingHash(s)).as("fps"))
       else
-        df.select(col(idCol).as("id"), TextOps.shingles(col(textCol)).as("sh")))
+        docs.select(col("id"), TextOps.shingles(col("_text")).as("sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = bandedBuckets(sh, numHashes, bands, portableHash)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
