@@ -77,8 +77,12 @@ object ScalingBench {
             org.apache.spark.sql.functions.lit(1))).head()
           r.edgesPerSecPerSuperstep
         } else {
+          // engine pinned: this row MEASURES the relational join+agg
+          // superstep — the auto CSR route would silently change what
+          // the committed scaling matrix compares
           val r = graft.algos.PageRank.runUndirected(spark, e,
-            graft.algos.PageRank.Config(tol = 0.0, maxIter = supersteps))
+            graft.algos.PageRank.Config(tol = 0.0, maxIter = supersteps,
+              engine = "rel"))
           r.ranks.agg(org.apache.spark.sql.functions.count(
             org.apache.spark.sql.functions.lit(1))).head()
           r.edgesPerSecPerSuperstep

@@ -38,17 +38,56 @@ object PageRank {
       checkpointInterval: Int = 1,
       numPartitions: Option[Int] = None,
       saltedAgg: Boolean = false,
-      salts: Int = 16)
+      salts: Int = 16,
+      // "auto" routes dense-id graphs whose V-row state fits a broadcast
+      // to the CSR engine (see runUndirected); "rel" pins the relational
+      // join+agg superstep (parity tests, ScalingBench's `rel` rows,
+      // and any caller that wants the shuffle plan regardless of size)
+      engine: String = "auto",
+      // broadcast-state vertex cap for the auto route: the per-superstep
+      // broadcast is n doubles (64 MB at the default), held once per
+      // executor — guide-§3.1 "a few hundred MB is usually fine" with
+      // margin. Data-derived, not core-count derived: on a cluster the
+      // same cap applies and a 10^9-vertex web graph routes to the
+      // relational/zip plans unchanged.
+      csrMaxVertices: Long = 8000000L)
 
   case class Result(ranks: DataFrame, iterations: Int, err: Double,
-                    edgesPerSecPerSuperstep: Double)
+                    edgesPerSecPerSuperstep: Double,
+                    engine: String = "rel")
 
   /** Undirected PageRank over a canonical edge table (src<dst distinct):
     * message passing along both directions.
+    *
+    * Engine routing (optimization round 6, guide §3.1 "broadcast the
+    * small side"): when the per-vertex state is small enough to
+    * broadcast (maxId < cfg.csrMaxVertices) and the id space is dense,
+    * the superstep needs NO shuffle at all — PageRankCsr streams the
+    * cached per-partition CSR blocks against a broadcast contribution
+    * vector (measured 4-5x the relational engine on the bench graph,
+    * parity 3e-20). The relational join+agg plan remains the engine for
+    * everything the route cannot prove cheap-and-equivalent: sparse id
+    * spaces (n enters the teleport base, so density is semantic),
+    * checkpointed/resumable runs, salted aggregation, explicit
+    * partitioning, or V beyond the broadcast cap. The gate costs one
+    * column-pruned max() pass over the edge table; the density check
+    * rides the CSR build itself (falls back if any id slot is empty).
     */
   def runUndirected(spark: SparkSession, edges: DataFrame,
-                    cfg: Config = Config()): Result =
-    run(spark, Edges.neighbors(edges).toDF("src", "dst"), cfg)
+                    cfg: Config = Config()): Result = {
+    val tryRoute = cfg.engine != "rel" && cfg.checkpoint.isEmpty &&
+      !cfg.saltedAgg && cfg.numPartitions.isEmpty
+    val routed: Option[Result] = if (!tryRoute) None else {
+      val mx = edges.agg(max(greatest(col("src"), col("dst")))).head()
+      if (mx.isNullAt(0) || mx.getLong(0) >= cfg.csrMaxVertices) None
+      else PageRankCsr.runIfDense(spark, edges, cfg.maxIter, cfg.tol,
+          cfg.alpha)
+        .map(c => Result(c.ranks, c.iterations, c.err,
+          c.edgesPerSecPerSuperstep, engine = "csr"))
+    }
+    routed.getOrElse(
+      run(spark, Edges.neighbors(edges).toDF("src", "dst"), cfg))
+  }
 
   /** Directed PageRank over a (src, dst) link table (duplicates allowed =
     * parallel edges, matching nx.DiGraph after dedup — pass distinct

@@ -38,7 +38,28 @@ object PageRankCsr {
     */
   def run(spark: SparkSession, edges: DataFrame, maxIter: Int,
           tol: Double = 0.0, alpha: Double = 0.85,
-          partitions: Int = 0): Result = {
+          partitions: Int = 0): Result =
+    runImpl(spark, edges, maxIter, tol, alpha, partitions,
+      requireDense = false).get
+
+  /** Routing entry for PageRank.runUndirected's "auto" engine: runs only
+    * if the vertex ids are verifiably DENSE 0..maxId (every slot has
+    * degree > 0 after the blocks are built), otherwise releases the
+    * blocks and returns None so the caller falls back to the relational
+    * plan. Density is semantic, not cosmetic: n = maxId+1 enters the
+    * init vector (1/n) and the teleport base ((1-alpha)/n), so a sparse
+    * id space would silently compute a different chain than
+    * nx.pagerank on the real vertex set.
+    */
+  def runIfDense(spark: SparkSession, edges: DataFrame, maxIter: Int,
+                 tol: Double = 0.0, alpha: Double = 0.85,
+                 partitions: Int = 0): Option[Result] =
+    runImpl(spark, edges, maxIter, tol, alpha, partitions,
+      requireDense = true)
+
+  private def runImpl(spark: SparkSession, edges: DataFrame, maxIter: Int,
+                      tol: Double, alpha: Double, partitions: Int,
+                      requireDense: Boolean): Option[Result] = {
     // cache the blocks as JVM OBJECTS (RDD cache), not encoder rows: a
     // Dataset cache would deserialize both index arrays on every
     // superstep's pass. The column index is packed to Int — dense ids
@@ -75,6 +96,17 @@ object PageRankCsr {
         while (i < ids.length) { deg(ids(i)) = ds(i).toDouble; i += 1 }
         pid -> ids
       }.toMap
+    if (requireDense) {
+      // dense <=> every id slot 0..maxId carries at least one edge
+      // (vertices present in a canonical edge table all have degree >= 1)
+      var i = 0
+      var dense = true
+      while (dense && i < n) { if (deg(i) == 0.0) dense = false; i += 1 }
+      if (!dense) {
+        blocks.unpersist(blocking = false)
+        return None
+      }
+    }
 
     var x = Array.fill(n)(1.0 / n)
     var iter = 0
@@ -142,6 +174,6 @@ object PageRankCsr {
     val ranks = sc.parallelize(x.toIndexedSeq.zipWithIndex
         .map { case (r, id) => (id.toLong, r) }, math.max(1, n / 500000))
       .toDF("id", "rank")
-    Result(ranks, iter, err, eps)
+    Some(Result(ranks, iter, err, eps))
   }
 }

@@ -14,7 +14,11 @@ class CheckpointSpec extends SparkSuite {
   test("PageRank resumes mid-algorithm to identical scores") {
     val e = Generators.er(spark, 200, 0.04, 5L)
     // uninterrupted reference run
-    val full = PageRank.runUndirected(spark, e, PageRank.Config(maxIter = 40))
+    // engine pinned: the resume contract is "identical scores from the
+    // SAME engine" — checkpointed runs always use the relational plan,
+    // so the uninterrupted reference must too
+    val full = PageRank.runUndirected(spark, e,
+      PageRank.Config(maxIter = 40, engine = "rel"))
     val expect = full.ranks.collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
 

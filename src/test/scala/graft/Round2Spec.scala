@@ -188,8 +188,12 @@ class Round2Spec extends SparkSuite {
       rel.get(id).foreach(v => assert(math.abs(v - r.getDouble(1)) < 1e-12, s"v$id"))
     }
     // convergent mode agrees with the relational convergent engine
+    // engine pinned to the relational plan: this is a CROSS-engine
+    // parity test (auto would route dense graphs to PageRankCsr and
+    // compare csr to csr)
     val relC = graft.algos.PageRank.runUndirected(spark, e,
-      graft.algos.PageRank.Config(tol = 1e-8, maxIter = 100))
+      graft.algos.PageRank.Config(tol = 1e-8, maxIter = 100,
+        engine = "rel"))
     val csrC = graft.algos.PageRankCsr.run(spark, e, maxIter = 100, tol = 1e-8)
     val relM = relC.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     csrC.ranks.collect().foreach { r =>

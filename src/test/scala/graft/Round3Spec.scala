@@ -173,8 +173,11 @@ class Round3Spec extends SparkSuite {
       assert(math.abs(rel(id) - v) < 1e-12, s"v$id: ${rel(id)} vs $v")
     }
     // convergent mode agrees with the relational convergent engine
+    // engine pinned: cross-engine parity (relational vs zip), see
+    // Round2Spec note
     val relC = graft.algos.PageRank.runUndirected(spark, e,
-      graft.algos.PageRank.Config(tol = 1e-8, maxIter = 100))
+      graft.algos.PageRank.Config(tol = 1e-8, maxIter = 100,
+        engine = "rel"))
     val zipC = graft.algos.PageRankCsrZip.run(spark, e, maxIter = 100, tol = 1e-8)
     val relM = relC.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     zipC.ranks.collect().foreach { r =>
