@@ -60,11 +60,27 @@ object ConnectedComponents {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** Below this edge count the assignment is computed by a driver-local
+    * union-find over the collected edge list (same local-gate posture —
+    * and the same 5M-row collect bound — as SpectralInit.LocalEdgeCap
+    * and PathCentralitySmall): the output contract "component = min
+    * vertex id of the component" is ALGORITHM-INDEPENDENT, so the local
+    * kernel's rows are identical to the star-contraction loop's by
+    * construction (integer equality, no float jitter; parity-tested).
+    * At bench scale the distributed loop's ~6 rounds are pure scheduler
+    * floor (~2.5 s for a graph whose edge list is 5 MB); above the cap
+    * — the 100 TB regime — the small-star/large-star loop runs
+    * unchanged. Checkpointed runs always take the distributed loop (the
+    * resume contract lives there).
+    */
+  val LocalEdgeCap = 5000000L
+
   /** Run to convergence. Returns (id, component) with component = min
     * vertex id of the component; every vertex of `edges` appears.
     */
   def run(spark: SparkSession, edges: DataFrame, maxRounds: Int = 50,
-          checkpoint: Option[CheckpointManager] = None): DataFrame = {
+          checkpoint: Option[CheckpointManager] = None,
+          localEdgeCap: Long = LocalEdgeCap): DataFrame = {
     var e = edges.select(col("src").as("u"), col("dst").as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var firstE = true // initial e is dataset-persisted; successors are truncated
@@ -72,6 +88,11 @@ object ConnectedComponents {
       if (firstE) { df.unpersist(false); firstE = false }
       else graft.core.Lineage.release(df)
     var sig = checksum(e)
+    if (checkpoint.isEmpty && sig._1 <= localEdgeCap) {
+      val out = runLocal(spark, e)
+      e.unpersist(false)
+      return out
+    }
     // vertex set from the CACHED edge table, materialized eagerly while
     // that cache is still alive (the rounds below release it): deriving
     // it from the caller's `edges` frame re-executed the whole upstream
@@ -119,5 +140,61 @@ object ConnectedComponents {
     verts.unpersist(false)
     dropE(e)
     assign
+  }
+
+  /** Driver-local union-find (path halving) over the collected (u, v)
+    * rows — two primitive long arrays, sorted-id binary search instead
+    * of a boxed hash map (the ApproxCloseness advice pattern). Emits
+    * (id, component = min id of the component), exactly the distributed
+    * loop's rows.
+    */
+  private def runLocal(spark: SparkSession, e: DataFrame): DataFrame = {
+    val rows = e.select("u", "v").collect()
+    val srcA = new Array[Long](rows.length)
+    val dstA = new Array[Long](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      val r = rows(i); srcA(i) = r.getLong(0); dstA(i) = r.getLong(1); i += 1
+    }
+    // sorted distinct vertex ids; index = rank (ascending id order)
+    val ids: Array[Long] = {
+      val all = new Array[Long](srcA.length * 2)
+      System.arraycopy(srcA, 0, all, 0, srcA.length)
+      System.arraycopy(dstA, 0, all, srcA.length, dstA.length)
+      java.util.Arrays.sort(all)
+      var w = 0
+      var j = 0
+      while (j < all.length) {
+        if (w == 0 || all(j) != all(w - 1)) { all(w) = all(j); w += 1 }
+        j += 1
+      }
+      java.util.Arrays.copyOf(all, w)
+    }
+    val n = ids.length
+    val parent = new Array[Int](n)
+    i = 0
+    while (i < n) { parent(i) = i; i += 1 }
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    i = 0
+    while (i < srcA.length) {
+      val a = find(java.util.Arrays.binarySearch(ids, srcA(i)))
+      val b = find(java.util.Arrays.binarySearch(ids, dstA(i)))
+      // union toward the smaller INDEX = smaller id (ids ascending), so
+      // every root is already its component's minimum id
+      if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+      i += 1
+    }
+    import spark.implicits._
+    val out = new Array[(Long, Long)](n)
+    i = 0
+    while (i < n) { out(i) = (ids(i), ids(find(i))); i += 1 }
+    out.toSeq.toDF("id", "component")
   }
 }

@@ -22,14 +22,37 @@ import graft.graph.Edges
   */
 object LabelPropagation {
 
-  def run(spark: SparkSession, edges: DataFrame, iterations: Int): DataFrame = {
+  /** Below this edge count the identical synchronous update runs on the
+    * driver over a collected CSR (same local-gate posture and collect
+    * bound as SpectralInit.LocalEdgeCap and ConnectedComponents): the
+    * update is PURE INTEGER arithmetic — per vertex, the most frequent
+    * neighbor label with min-label ties — so the local rows are
+    * bit-identical to the distributed loop's by construction
+    * (parity-tested). Above the cap the join+agg supersteps run
+    * unchanged — the 100 TB path.
+    */
+  val LocalEdgeCap = 5000000L
+
+  def run(spark: SparkSession, edges: DataFrame, iterations: Int,
+          localEdgeCap: Long = LocalEdgeCap): DataFrame = {
     val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // one materialization of the caller's edge pipeline serves the
+    // gate count AND whichever path runs (the local collect or the
+    // adjacency build)
+    val e0 = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val eCount = e0.count()
+    if (eCount <= localEdgeCap) {
+      val out = runLocal(spark, e0, iterations)
+      e0.unpersist(false)
+      return out
+    }
     // adjacency pre-shuffled ONCE on the per-iteration join key and
     // materialized: each superstep's join then only shuffles the V-row
     // label state (the old persist left nbrs scan-partitioned, so the
     // 2E-row side was re-shuffled every iteration)
     val nbrs = graft.core.Lineage.truncatePartitioned(
-      Edges.neighbors(edges).repartition(p, col("nbr")))
+      Edges.neighbors(e0).repartition(p, col("nbr")))
+    e0.unpersist(false)
     // initial labels from the materialized adjacency — same vertex set
     // as Edges.vertices on a canonical edge table, without a second
     // pass over the edge pipeline
@@ -37,8 +60,9 @@ object LabelPropagation {
       nbrs.select(col("id")).distinct()
         .select(col("id"), col("id").as("label")))
     // fixed-shape loop tuning: AQE off + data-sized shuffle width in
-    // the small regime (graft.core.LoopConf; data-derived gate)
-    val small = graft.core.LoopConf.smallRegime(spark, nbrs.count())
+    // the small regime (graft.core.LoopConf; data-derived gate).
+    // 2 * eCount == nbrs row count (both directions), with no extra job.
+    val small = graft.core.LoopConf.smallRegime(spark, 2L * eCount)
     graft.core.LoopConf.withLoop(spark, small) {
     for (i <- 1 to iterations) {
       // dataset aliases: the initial labels frame derives from nbrs, so
@@ -58,5 +82,97 @@ object LabelPropagation {
     }
     graft.core.Lineage.release(nbrs)
     labels
+  }
+
+  /** Driver-local synchronous LPA over a collected CSR — the identical
+    * per-vertex update: count previous-iteration labels over neighbors,
+    * adopt max count, ties to the minimum label. Sorted-id binary
+    * search, primitive arrays; per-vertex work is independent, so the
+    * chunk-parallel loop cannot change any result.
+    */
+  private def runLocal(spark: SparkSession, e: DataFrame,
+                       iterations: Int): DataFrame = {
+    val rows = e.select("src", "dst").collect()
+    val srcA = new Array[Long](rows.length)
+    val dstA = new Array[Long](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      val r = rows(i); srcA(i) = r.getLong(0); dstA(i) = r.getLong(1); i += 1
+    }
+    val ids: Array[Long] = {
+      val all = new Array[Long](srcA.length * 2)
+      System.arraycopy(srcA, 0, all, 0, srcA.length)
+      System.arraycopy(dstA, 0, all, srcA.length, dstA.length)
+      java.util.Arrays.sort(all)
+      var w = 0
+      var j = 0
+      while (j < all.length) {
+        if (w == 0 || all(j) != all(w - 1)) { all(w) = all(j); w += 1 }
+        j += 1
+      }
+      java.util.Arrays.copyOf(all, w)
+    }
+    val n = ids.length
+    // CSR over both directions
+    val degA = new Array[Int](n)
+    i = 0
+    while (i < srcA.length) {
+      degA(java.util.Arrays.binarySearch(ids, srcA(i))) += 1
+      degA(java.util.Arrays.binarySearch(ids, dstA(i))) += 1
+      i += 1
+    }
+    val rowPtr = new Array[Int](n + 1)
+    i = 0
+    while (i < n) { rowPtr(i + 1) = rowPtr(i) + degA(i); i += 1 }
+    val colIdx = new Array[Int](rowPtr(n))
+    locally {
+      val cursor = rowPtr.clone()
+      var j = 0
+      while (j < srcA.length) {
+        val a = java.util.Arrays.binarySearch(ids, srcA(j))
+        val b = java.util.Arrays.binarySearch(ids, dstA(j))
+        colIdx(cursor(a)) = b; cursor(a) += 1
+        colIdx(cursor(b)) = a; cursor(b) += 1
+        j += 1
+      }
+    }
+    var labels: Array[Long] = Array.tabulate(n)(v => ids(v))
+    var it = 0
+    while (it < iterations) {
+      val prev = labels
+      val next = new Array[Long](n)
+      java.util.stream.IntStream.range(0, n).parallel().forEach { v =>
+        val start = rowPtr(v)
+        val end = rowPtr(v + 1)
+        val scratch = new Array[Long](end - start)
+        var k = 0
+        while (k < scratch.length) {
+          scratch(k) = prev(colIdx(start + k)); k += 1
+        }
+        java.util.Arrays.sort(scratch)
+        // scan runs ascending: a later run only wins with a STRICTLY
+        // larger count, so ties keep the smaller label
+        var bestLabel = scratch(0)
+        var bestCnt = 0
+        var runStart = 0
+        k = 1
+        while (k <= scratch.length) {
+          if (k == scratch.length || scratch(k) != scratch(runStart)) {
+            val cnt = k - runStart
+            if (cnt > bestCnt) { bestCnt = cnt; bestLabel = scratch(runStart) }
+            runStart = k
+          }
+          k += 1
+        }
+        next(v) = bestLabel
+      }
+      labels = next
+      it += 1
+    }
+    import spark.implicits._
+    val out = new Array[(Long, Long)](n)
+    i = 0
+    while (i < n) { out(i) = (ids(i), labels(i)); i += 1 }
+    out.toSeq.toDF("id", "label")
   }
 }

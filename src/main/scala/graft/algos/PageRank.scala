@@ -231,13 +231,44 @@ object PageRank {
     * path differs only in float add order (parity-tested at 1e-12
     * against the CSR engines, same as before).
     */
+  /** Below this edge count the PORTABLE-sum fixed-iteration chain runs
+    * on the driver over a collected CSR (local-gate posture of
+    * SpectralInit / ConnectedComponents / the path centralities). The
+    * portable path quantizes every gather addend through
+    * [[graft.functions.PortableRound]] and sums LONGS — the per-vertex
+    * sum is order-INDEPENDENT by construction, so the local kernel that
+    * replays the identical double ops (rank/deg, halfUp(c*scale),
+    * long sum, base + alpha*(s/scale)) is bit-identical to the
+    * distributed plan, not merely close (parity-tested with ==). The
+    * native-double path is NOT routed (its sum order differs run to
+    * run); above the cap the pre-shuffled relational chain runs
+    * unchanged — the 100 TB path.
+    */
+  val FixedIterLocalEdgeCap = 5000000L
+
   def fixedIterUndirected(edges: DataFrame, iters: Int,
                           alpha: Double = 0.85,
-                          portableSum: Boolean = false): DataFrame = {
+                          portableSum: Boolean = false,
+                          localEdgeCap: Long = FixedIterLocalEdgeCap): DataFrame = {
     val spark = edges.sparkSession
+    // one materialization of the caller's edge pipeline serves the gate
+    // count and whichever path runs (local collect or adjacency build)
+    var src = edges
+    var srcCached = false
+    if (portableSum) {
+      val e0 = edges.persist(StorageLevel.MEMORY_AND_DISK)
+      if (e0.count() <= localEdgeCap) {
+        val out = fixedIterPortableLocal(spark, e0, iters, alpha)
+        e0.unpersist(false)
+        return out
+      }
+      src = e0
+      srcCached = true
+    }
     val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val nbrs = graft.core.Lineage.truncatePartitioned(
-      Edges.neighbors(edges).repartition(p, col("id")))
+      Edges.neighbors(src).repartition(p, col("id")))
+    if (srcCached) src.unpersist(false)
     // deg inherits the id-hash partitioning (no exchange); materialized
     // so the per-iteration joins scan a pinned RDD instead of
     // re-aggregating
@@ -263,5 +294,91 @@ object PageRank {
           col("deg"))
     }
     ranks.select(col("id"), col("rank"))
+  }
+
+  /** Driver-local replay of the portable fixed-iteration chain —
+    * BIT-IDENTICAL to the distributed plan by construction:
+    *
+    *   c_u   = rank_u / deg_u                  (same double division)
+    *   q_u   = halfUp(c_u * 1e15).toLong       (PortableRound + ANSI cast)
+    *   s_v   = sum of q_u over neighbors       (long adds — exact,
+    *                                            order-independent)
+    *   rank' = (1-alpha)/n + alpha*(s/1e15)    (same op order)
+    *
+    * Chunk-parallelism cannot perturb anything: the only reductions are
+    * exact integer sums. Sorted-id binary search, primitive arrays.
+    */
+  private def fixedIterPortableLocal(spark: SparkSession, e: DataFrame,
+                                     iters: Int, alpha: Double): DataFrame = {
+    val rows = e.select("src", "dst").collect()
+    val srcA = new Array[Long](rows.length)
+    val dstA = new Array[Long](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      val r = rows(i); srcA(i) = r.getLong(0); dstA(i) = r.getLong(1); i += 1
+    }
+    val ids: Array[Long] = {
+      val all = new Array[Long](srcA.length * 2)
+      System.arraycopy(srcA, 0, all, 0, srcA.length)
+      System.arraycopy(dstA, 0, all, srcA.length, dstA.length)
+      java.util.Arrays.sort(all)
+      var w = 0
+      var j = 0
+      while (j < all.length) {
+        if (w == 0 || all(j) != all(w - 1)) { all(w) = all(j); w += 1 }
+        j += 1
+      }
+      java.util.Arrays.copyOf(all, w)
+    }
+    val n = ids.length
+    val degI = new Array[Int](n)
+    val sIdx = new Array[Int](srcA.length)
+    val dIdx = new Array[Int](srcA.length)
+    i = 0
+    while (i < srcA.length) {
+      sIdx(i) = java.util.Arrays.binarySearch(ids, srcA(i))
+      dIdx(i) = java.util.Arrays.binarySearch(ids, dstA(i))
+      degI(sIdx(i)) += 1; degI(dIdx(i)) += 1
+      i += 1
+    }
+    val rowPtr = new Array[Int](n + 1)
+    i = 0
+    while (i < n) { rowPtr(i + 1) = rowPtr(i) + degI(i); i += 1 }
+    val colIdx = new Array[Int](rowPtr(n))
+    locally {
+      val cursor = rowPtr.clone()
+      var j = 0
+      while (j < srcA.length) {
+        colIdx(cursor(sIdx(j))) = dIdx(j); cursor(sIdx(j)) += 1
+        colIdx(cursor(dIdx(j))) = sIdx(j); cursor(dIdx(j)) += 1
+        j += 1
+      }
+    }
+    val nD = n.toDouble
+    val base = (1.0 - alpha) / nD
+    val scale = 1e15
+    var rank = Array.fill(n)(1.0 / nD)
+    var it = 0
+    while (it < iters) {
+      val q = new Array[Long](n)
+      var v = 0
+      while (v < n) {
+        q(v) = graft.functions.PortableRound
+          .halfUp((rank(v) / degI(v).toDouble) * scale).toLong
+        v += 1
+      }
+      val next = new Array[Double](n)
+      java.util.stream.IntStream.range(0, n).parallel().forEach { u =>
+        var s = 0L
+        var p = rowPtr(u)
+        while (p < rowPtr(u + 1)) { s += q(colIdx(p)); p += 1 }
+        next(u) = base + alpha * (s.toDouble / scale)
+      }
+      rank = next
+      it += 1
+    }
+    import spark.implicits._
+    val rf = rank
+    ids.indices.map(v => (ids(v), rf(v))).toDF("id", "rank")
   }
 }

@@ -54,7 +54,20 @@ object TriangleCount {
     * d_out^2) rows — 245M at sf0.1's dense graph) into a semi-join.
     * Counts eagerly so the adjacency cache is released before returning.
     */
-  def globalCount(spark: SparkSession, edges: DataFrame): DataFrame = {
+  /** Below this edge count the same degree-oriented intersection count
+    * runs on the driver over a collected CSR (local-gate posture of
+    * SpectralInit / ConnectedComponents). The count is an EXACT integer
+    * property of the graph — any correct algorithm returns the same
+    * number — so the local kernel is trivially result-identical
+    * (parity-tested). The cap is tighter than the 5M-row collect bound
+    * because intersection work grows ~E^1.5 (O(sqrt m) out-degrees):
+    * ~2G merge steps at 1M edges is the driver's comfortable ceiling;
+    * above it the distributed join+agg plan runs unchanged.
+    */
+  val LocalEdgeCap = 1000000L
+
+  def globalCount(spark: SparkSession, edges: DataFrame,
+                  localEdgeCap: Long = LocalEdgeCap): DataFrame = {
     import spark.implicits._
     // materialize the edge pipeline and the oriented table ONCE
     // (optimization round 6): the final aggregate's plan references the
@@ -62,6 +75,11 @@ object TriangleCount {
     // each copy re-executing the edge scan+distinct and both degree
     // joins — checkpointing `e` and `o` pins them to single executions
     val e = graft.core.Lineage.truncate(edges.select("src", "dst"))
+    if (e.count() <= localEdgeCap) {
+      val n = countLocal(e)
+      graft.core.Lineage.release(e)
+      return Seq(n).toDF("triangles")
+    }
     val o = graft.core.Lineage.truncate(orient(spark, e))
     // adjacency arrays SORTED at build so the per-edge intersection is a
     // zero-allocation two-pointer merge (SortedIntersectCount codegen
@@ -83,6 +101,94 @@ object TriangleCount {
     graft.core.Lineage.release(o)
     graft.core.Lineage.release(e)
     Seq(n).toDF("triangles")
+  }
+
+  /** Driver-local degree-oriented intersection count: same total order
+    * ((degree, id) ascending), sorted out-adjacency, two-pointer merge
+    * per oriented edge; chunk-parallel over vertices (per-edge counts
+    * are independent, summed exactly as longs).
+    */
+  private def countLocal(e: DataFrame): Long = {
+    val rows = e.select("src", "dst").collect()
+    val srcA = new Array[Long](rows.length)
+    val dstA = new Array[Long](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      val r = rows(i); srcA(i) = r.getLong(0); dstA(i) = r.getLong(1); i += 1
+    }
+    val ids: Array[Long] = {
+      val all = new Array[Long](srcA.length * 2)
+      System.arraycopy(srcA, 0, all, 0, srcA.length)
+      System.arraycopy(dstA, 0, all, srcA.length, dstA.length)
+      java.util.Arrays.sort(all)
+      var w = 0
+      var j = 0
+      while (j < all.length) {
+        if (w == 0 || all(j) != all(w - 1)) { all(w) = all(j); w += 1 }
+        j += 1
+      }
+      java.util.Arrays.copyOf(all, w)
+    }
+    val n = ids.length
+    val deg = new Array[Int](n)
+    val sIdx = new Array[Int](srcA.length)
+    val dIdx = new Array[Int](srcA.length)
+    i = 0
+    while (i < srcA.length) {
+      sIdx(i) = java.util.Arrays.binarySearch(ids, srcA(i))
+      dIdx(i) = java.util.Arrays.binarySearch(ids, dstA(i))
+      deg(sIdx(i)) += 1; deg(dIdx(i)) += 1
+      i += 1
+    }
+    // total order: (degree, id) ascending — ids(a) < ids(b) iff a < b
+    def precedes(a: Int, b: Int): Boolean =
+      deg(a) < deg(b) || (deg(a) == deg(b) && a < b)
+    val outDeg = new Array[Int](n)
+    i = 0
+    while (i < srcA.length) {
+      if (precedes(sIdx(i), dIdx(i))) outDeg(sIdx(i)) += 1
+      else outDeg(dIdx(i)) += 1
+      i += 1
+    }
+    val rowPtr = new Array[Int](n + 1)
+    i = 0
+    while (i < n) { rowPtr(i + 1) = rowPtr(i) + outDeg(i); i += 1 }
+    val out = new Array[Int](rowPtr(n))
+    locally {
+      val cursor = rowPtr.clone()
+      var j = 0
+      while (j < srcA.length) {
+        val a = sIdx(j); val b = dIdx(j)
+        if (precedes(a, b)) { out(cursor(a)) = b; cursor(a) += 1 }
+        else { out(cursor(b)) = a; cursor(b) += 1 }
+        j += 1
+      }
+    }
+    i = 0
+    while (i < n) {
+      java.util.Arrays.sort(out, rowPtr(i), rowPtr(i + 1))
+      i += 1
+    }
+    val total = new java.util.concurrent.atomic.AtomicLong(0L)
+    java.util.stream.IntStream.range(0, n).parallel().forEach { u =>
+      var t = 0L
+      var p = rowPtr(u)
+      while (p < rowPtr(u + 1)) {
+        val v = out(p)
+        // two-pointer |N+(u) ∩ N+(v)|
+        var x = rowPtr(u); var y = rowPtr(v)
+        while (x < rowPtr(u + 1) && y < rowPtr(v + 1)) {
+          val a = out(x); val b = out(y)
+          if (a == b) { t += 1; x += 1; y += 1 }
+          else if (a < b) x += 1
+          else y += 1
+        }
+        p += 1
+      }
+      if (t > 0) total.addAndGet(t)
+      ()
+    }
+    total.get()
   }
 
   /** Per-vertex triangle participation counts (id, triangles); vertices

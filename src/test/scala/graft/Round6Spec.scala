@@ -35,6 +35,72 @@ class Round6Spec extends SparkSuite {
     assert(r.engine == "rel")
   }
 
+  test("cc local kernel matches the distributed star loop exactly") {
+    for (g <- Seq(TwoTriangles, P10, K8,
+        graft.generators.Generators.er(spark, 120, 0.03, 9L)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)) {
+      val e = edgesOf(g)
+      val local = graft.algos.ConnectedComponents.run(spark, e)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      // cap 0 forces the small-star/large-star loop
+      val dist = graft.algos.ConnectedComponents.run(spark, e,
+          localEdgeCap = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(local.toSeq == dist.toSeq)
+    }
+  }
+
+  test("lpa local kernel matches the distributed loop exactly") {
+    for (g <- Seq(TwoTriangles, K8,
+        graft.generators.Generators.caveman(spark, 4, 6)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq);
+        iters <- Seq(1, 3)) {
+      val e = edgesOf(g)
+      val local = graft.algos.LabelPropagation.run(spark, e, iters)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      val dist = graft.algos.LabelPropagation.run(spark, e, iters,
+          localEdgeCap = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(local.toSeq == dist.toSeq, s"iters=$iters")
+    }
+  }
+
+  test("triangle local kernel matches the distributed count exactly") {
+    for (g <- Seq(K4, TwoTriangles, P10, K8,
+        graft.generators.Generators.ba(spark, 100, 4, 7L)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)) {
+      val e = edgesOf(g)
+      val local = graft.algos.TriangleCount.globalCount(spark, e)
+        .head().getLong(0)
+      val dist = graft.algos.TriangleCount.globalCount(spark, e,
+        localEdgeCap = 0L).head().getLong(0)
+      assert(local == dist)
+    }
+  }
+
+  test("portable fixedIter local kernel is bit-identical to distributed") {
+    for (g <- Seq(K8, TwoTriangles,
+        graft.generators.Generators.ba(spark, 180, 3, 13L)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq);
+        iters <- Seq(1, 5)) {
+      val e = edgesOf(g)
+      val local = graft.algos.PageRank.fixedIterUndirected(e, iters,
+          portableSum = true)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val dist = graft.algos.PageRank.fixedIterUndirected(e, iters,
+          portableSum = true, localEdgeCap = 0L)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(local.keySet == dist.keySet)
+      local.foreach { case (id, v) =>
+        // bit-exact, not approximate: the portable chain is
+        // order-independent, so the kernels must agree exactly
+        assert(java.lang.Double.doubleToRawLongBits(v) ==
+          java.lang.Double.doubleToRawLongBits(dist(id)),
+          s"iters=$iters v$id: $v vs ${dist(id)}")
+      }
+    }
+  }
+
   test("auto engine respects the broadcast vertex cap and pins") {
     val e = edgesOf(K8)
     // cap below maxId: must stay relational
