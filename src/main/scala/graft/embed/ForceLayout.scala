@@ -54,7 +54,18 @@ object ForceLayout {
       // tests/test_embedder.py:178-192). Invoked AFTER each superstep's
       // state is materialized with (completed iteration index, metrics);
       // deliberately free of extra Spark actions.
-      progress: Option[(Int, Map[String, Double]) => Unit] = None)
+      progress: Option[(Int, Map[String, Double]) => Unit] = None,
+      // below this edge count the INIT bookkeeping — dense edge
+      // ordinals and the fixed-sample identity — is computed on the
+      // driver from one collected edge list (the SpectralInit /
+      // ConnectedComponents local-gate posture and the same 5M-row
+      // collect bound): the eids are the identical (src, dst)-sort
+      // dense ranks Ids.dense produces and the sample is the identical
+      // smallest-(xxhash64(eid), eid) set (XXH64.hashLong replica, same
+      // bits), so positions are unchanged. The LAYOUT LOOP itself is
+      // never local-gated — the supersteps stay distributed at every
+      // scale. Above the cap the Ids.dense + top-k jobs run unchanged.
+      localInitEdgeCap: Long = 5000000L)
 
   private def norm2(v: Column): Column =
     sqrt(aggregate(v, lit(0.0), (s, x) => s + x * x))
@@ -76,28 +87,75 @@ object ForceLayout {
     // every superstep to win the parallelism back for the kNN
     // aggregation alone, leaving the spring/intersection passes narrow.)
     val edgeCount = edges.count()
-    val eidEdges = Ids.dense(spark, edges.select("src", "dst"),
-      Seq("src", "dst"), "eid")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sessP = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val sampleSize = math.min(cfg.sampleSize, edgeCount).toInt
 
     // The sampled-edge IDENTITY is iteration-independent (quirk #1: the
     // reference samples with PRNGKey(0) every iteration, so the subset
     // never changes) — select the sample_size smallest xxhash64(eid)
-    // ONCE before the loop instead of re-running a global top-k over all
-    // E midpoints every superstep. The ≤sampleSize rows are
-    // config-bounded, so they live in a driver-local relation: each
-    // superstep's broadcast of the sample then builds from local rows
-    // with no executor job (a checkpointed 256-row RDD cost one tiny
-    // collect job per broadcast per superstep). Per iteration only the
-    // sample's positions are refreshed: two broadcast joins that stream
-    // the V-row position state, never the E-row edge table.
-    val sampledQuery = eidEdges
-      .orderBy(xxhash64(col("eid")), col("eid")).limit(sampleSize)
-      .select(col("eid").as("i_eid"), col("src").as("i_src"),
-        col("dst").as("i_dst"))
-    val sampledEdges = spark.createDataFrame(
-      java.util.Arrays.asList(sampledQuery.collect(): _*), sampledQuery.schema)
+    // ONCE before the loop. Per iteration only the sample's POSITIONS
+    // are refreshed (see the loop below). Under the local-init gate the
+    // ordinal assignment and the sample pick both run on the driver
+    // from one collected edge list; above it Ids.dense + a top-k job
+    // produce the identical values.
+    val (eidEdges, sEids, sSrcs, sDsts) =
+      if (edgeCount <= cfg.localInitEdgeCap) {
+        val rows = edges.select("src", "dst").collect()
+        val pairs = new Array[Long](rows.length * 2)
+        var i = 0
+        while (i < rows.length) {
+          val r = rows(i)
+          pairs(2 * i) = r.getLong(0); pairs(2 * i + 1) = r.getLong(1)
+          i += 1
+        }
+        // dense eids in (src, dst) sort order — exactly Ids.dense's
+        // two-phase range rank (rows are distinct, so the order is total)
+        val order = Array.range(0, rows.length)
+        val boxed = order.map(Integer.valueOf)
+        java.util.Arrays.sort(boxed, new java.util.Comparator[Integer] {
+          def compare(a: Integer, b: Integer): Int = {
+            val c = java.lang.Long.compare(pairs(2 * a), pairs(2 * b))
+            if (c != 0) c
+            else java.lang.Long.compare(pairs(2 * a + 1), pairs(2 * b + 1))
+          }
+        })
+        val triples = new Array[(Long, Long, Long)](rows.length)
+        i = 0
+        while (i < rows.length) {
+          val o = boxed(i).intValue()
+          triples(i) = (pairs(2 * o), pairs(2 * o + 1), i.toLong)
+          i += 1
+        }
+        import spark.implicits._
+        val df = spark.sparkContext
+          .parallelize(triples.toIndexedSeq, math.max(1, sessP))
+          .toDF("src", "dst", "eid")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // sample: the sampleSize smallest (xxhash64(eid), eid) —
+        // XXH64.hashLong(eid, 42) is Spark's xxhash64(col) bit-for-bit
+        // (the DetRandom.uniformLocal replica argument)
+        import org.apache.spark.sql.catalyst.expressions.XXH64
+        val hashes = Array.tabulate(rows.length)(e => XXH64.hashLong(e.toLong, 42L))
+        val byHash = Array.range(0, rows.length).map(Integer.valueOf)
+        java.util.Arrays.sort(byHash, new java.util.Comparator[Integer] {
+          def compare(a: Integer, b: Integer): Int = {
+            val c = java.lang.Long.compare(hashes(a), hashes(b))
+            if (c != 0) c else Integer.compare(a, b)
+          }
+        })
+        val picked = byHash.take(sampleSize).map(_.intValue()).sorted
+        (df,
+          picked.map(_.toLong),
+          picked.map(e => pairs(2 * boxed(e).intValue())),
+          picked.map(e => pairs(2 * boxed(e).intValue() + 1)))
+      } else {
+        val df = Ids.dense(spark, edges.select("src", "dst"),
+          Seq("src", "dst"), "eid")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val s = df.orderBy(xxhash64(col("eid")), col("eid")).limit(sampleSize)
+          .select("eid", "src", "dst").collect().sortBy(_.getLong(0))
+        (df, s.map(_.getLong(0)), s.map(_.getLong(1)), s.map(_.getLong(2)))
+      }
 
     // Resume from the latest committed layout snapshot, if any: the
     // layout is fully deterministic (fixed hash-ordered sample, quirk
@@ -137,6 +195,17 @@ object ForceLayout {
         System.err.println(f"[layout] $label: ${(System.nanoTime()-t0)/1e9}%.3f s")
         r
       }
+    // the ≤2*sampleSize state rows the per-superstep refresh needs;
+    // after the first iteration the refresh rides the state
+    // materialization action (see the end of the loop)
+    val sampleEndpointIds: Seq[Long] = (sSrcs ++ sDsts).distinct.sorted.toSeq
+    def collectSamplePositions(state: DataFrame): Map[Long, Array[Double]] =
+      state.where(col("id").isin(sampleEndpointIds: _*))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    var posMap: Map[Long, Array[Double]] =
+      if (vCount > 0 && iter < iterations)
+        phase("sample collect (init)")(collectSamplePositions(pos))
+      else Map.empty
     while (iter < iterations && vCount > 0) {
       // gather endpoint positions + midpoint in ONE cached E-row frame
       // (the old shape cached `ep` and a derived `mids` separately —
@@ -169,17 +238,17 @@ object ForceLayout {
         .select(col("e.id").as("id"), col("e.f").as("f"))
 
       val mids = ep
-      // refresh the fixed sample's positions: broadcast the (tiny)
-      // sampled edge set against the V-row position state — same
-      // (p1+p2)*0.5 midpoint arithmetic as `mids`, bit-identical
-      val withP1 = pos.select(col("id").as("i_src"), col("pos").as("ip1"))
-        .join(broadcast(sampledEdges), "i_src")
-      val sampled = pos.select(col("id").as("i_dst"), col("pos").as("ip2"))
-        .join(broadcast(withP1), "i_dst")
-        .select(col("i_eid"), col("i_src"), col("i_dst"),
-          col("ip1"), col("ip2"),
-          zip_with(col("ip1"), col("ip2"), (a, b) => (a + b) * 0.5).as("imid"))
-
+      // refresh the fixed sample's positions from the ≤2*sampleSize
+      // state rows collected when the previous state materialized (see
+      // the end of the loop): the (p1+p2)*0.5 midpoint arithmetic is
+      // the identical double op zip_with evaluated, so qvecs are
+      // bit-identical to the old broadcast-join sample job — which this
+      // replaces outright (one fewer action per superstep).
+      val qids = sEids
+      val qvecs = Array.tabulate(sampleSize) { i =>
+        val p1 = posMap(sSrcs(i)); val p2 = posMap(sDsts(i))
+        Array.tabulate(d)(j => (p1(j) + p2(j)) * 0.5)
+      }
       // kNN: fused multi-query bounded top-(k+1) — every E-row midpoint
       // updates ALL `sample` heaps inside ONE SampleKnnAgg update()
       // (squared-distance arithmetic and (d2, j_eid) comparator
@@ -189,21 +258,16 @@ object ForceLayout {
       // superstep). The shuffle carries one sample x (k+1) partial per
       // input partition; a row_number window here would shuffle ALL
       // E x sample pairs into at most `sample` reducer keys (a hard
-      // parallelism ceiling at web scale).
-      //
-      // The collect stages the same sample x d block on the driver that
-      // a broadcast would have staged (~8 KB at the defaults), sorted by
-      // i_eid for a deterministic query order; re-wrapping the collected
-      // rows as a LocalRelation makes the sample's re-join below a free
-      // broadcast (no per-iteration eager-checkpoint job for the sample,
-      // which an earlier revision paid). The partial aggregation's
+      // parallelism ceiling at web scale). The partial aggregation's
       // parallelism comes from the ep cache partitions, built at the
       // session width above — no per-superstep E-row repartition.
-      val sampleRows = phase("sample collect")(sampled.orderBy(col("i_eid")).collect())
-      val qids = sampleRows.map(_.getLong(0))
-      val qvecs = sampleRows.map(_.getSeq[Double](5).toArray)
-      val sampledT = spark.createDataFrame(
-        java.util.Arrays.asList(sampleRows: _*), sampled.schema)
+      val sampledT = {
+        import spark.implicits._
+        (0 until sampleSize).map { i =>
+          (sEids(i), sSrcs(i), sDsts(i),
+            posMap(sSrcs(i)).toSeq, posMap(sDsts(i)).toSeq, qvecs(i).toSeq)
+        }.toDF("i_eid", "i_src", "i_dst", "ip1", "ip2", "imid")
+      }
       val topk = mids.select(col("eid"), col("mid"))
         .agg(graft.functions.SampleKnn.knn(col("mid"), col("eid"),
           qids, qvecs, cfg.nNeighbors + 1).as("all"))
@@ -293,11 +357,24 @@ object ForceLayout {
           (element_at(col("pos"), j + 1) - lit(statRow.getDouble(2 * j))) /
             (lit(statRow.getDouble(2 * j + 1)) + lit(1e-6))): _*).as("pos"))
 
-      val next = phase("truncate normalized")(cfg.checkpoint match {
-        case Some(cm) if (iter + 1) % cfg.checkpointInterval == 0 ||
-          iter == iterations - 1 =>
-          cm.commit(iter, normalized, Map("iteration" -> iter.toDouble))
-        case _ => graft.core.Lineage.truncate(normalized)
+      // state materialization + next iteration's sample refresh in ONE
+      // action: the ≤2*sampleSize-row filtered collect is the first
+      // action on the lazily-truncated frame, so it materializes the
+      // checkpoint AND returns the refreshed positions — the old
+      // separate broadcast-join sample job per superstep is gone.
+      val isLast = iter == iterations - 1
+      val next = phase("truncate+refresh")(cfg.checkpoint match {
+        case Some(cm) if (iter + 1) % cfg.checkpointInterval == 0 || isLast =>
+          val c = cm.commit(iter, normalized, Map("iteration" -> iter.toDouble))
+          if (!isLast) posMap = collectSamplePositions(c)
+          c
+        case _ =>
+          if (isLast) graft.core.Lineage.truncate(normalized)
+          else {
+            val nx = graft.core.Lineage.truncateLazy(normalized)
+            posMap = collectSamplePositions(nx)
+            nx
+          }
       })
       ep.unpersist(false)
       moved.unpersist(false)

@@ -101,6 +101,38 @@ class Round6Spec extends SparkSuite {
     }
   }
 
+  test("XXH64.hashLong replicates the xxhash64 column bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import spark.implicits._
+    val vals = (0L until 500L) ++ Seq(Long.MaxValue, Long.MinValue, -1L)
+    val got = vals.toDF("v").select(col("v"), xxhash64(col("v")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vals.foreach { v =>
+      assert(got(v) == XXH64.hashLong(v, 42L), s"v=$v")
+    }
+  }
+
+  test("layout local-init gate picks the identical sample and radii") {
+    val e = edgesOf(graft.generators.Generators.ba(spark, 120, 3, 23L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    val init = graft.embed.SpectralInit.run(spark, e, d = 2, maxIter = 10)
+    def radiiOf(cap: Long): Map[Long, Double] =
+      graft.embed.ForceLayout.radii(
+        graft.embed.ForceLayout.run(spark, e, init, 3,
+          graft.embed.ForceLayout.Config(d = 2, localInitEdgeCap = cap)))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val local = radiiOf(Long.MaxValue)
+    val dist = radiiOf(0L) // forces Ids.dense + the top-k sample job
+    assert(local.keySet == dist.keySet)
+    // identical eids + identical sample identity + identical arithmetic;
+    // only the scatter aggregation's float-merge order may differ
+    // (same bound as the rerun-stability test)
+    local.foreach { case (id, v) =>
+      assert(math.abs(v - dist(id)) < 1e-9, s"v$id: $v vs ${dist(id)}")
+    }
+  }
+
   test("auto engine respects the broadcast vertex cap and pins") {
     val e = edgesOf(K8)
     // cap below maxId: must stay relational
