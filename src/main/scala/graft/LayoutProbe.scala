@@ -14,14 +14,17 @@ object LayoutProbe {
       val t0 = System.nanoTime(); val r = f
       println(f"$label: ${(System.nanoTime()-t0)/1e9}%.2f s"); r
     }
-    val init = time("spectral") {
-      val i = graft.embed.SpectralInit.run(spark, e, d = 2, gramTol = 1e-6)
-      i.count(); i
+    (1 to 2).foreach { pass =>
+      println(s"--- pass $pass")
+      val init = time("spectral") {
+        val i = graft.embed.SpectralInit.run(spark, e, d = 2, gramTol = 1e-6)
+        i.count(); i
+      }
+      val cfg0 = graft.embed.ForceLayout.Config(d = 2,
+        progress = Some((it, m) => println(f"  iter $it done at ${m("elapsed_secs")}%.2f s")))
+      time("layout 3 iters")(
+        graft.embed.ForceLayout.run(spark, e, init, 3, cfg0).count())
     }
-    val cfg0 = graft.embed.ForceLayout.Config(d = 2,
-      progress = Some((it, m) => println(f"  iter $it done at ${m("elapsed_secs")}%.2f s")))
-    time("layout 3 iters")(
-      graft.embed.ForceLayout.run(spark, e, init, 3, cfg0).count())
     spark.stop()
   }
 }

@@ -87,7 +87,17 @@ case class SampleKnnAgg(
         var d2 = 0.0
         var i = 0
         while (i < dims) { val diff = qv(i) - m(i); d2 += diff * diff; i += 1 }
-        buf.insert(q, d2, eid)
+        // cheap reject before the insert call (the CosineTopKAgg
+        // pattern): a full heap only replaces its root when
+        // (d2, eid) < (root, rootTie) — the exact complement of this
+        // test, so no candidate that could enter is ever skipped and
+        // the heap contents stay bit-identical. Once the heap is warm
+        // almost every row fails here, skipping the call + sift.
+        if (k > 0 && (buf.n(q) < k || {
+            val kk = buf.keys(q)
+            d2 < kk(0) || (d2 == kk(0) && eid < buf.ties(q)(0))
+          }))
+          buf.insert(q, d2, eid)
         q += 1
       }
     }
