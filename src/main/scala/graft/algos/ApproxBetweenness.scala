@@ -70,7 +70,7 @@ object ApproxBetweenness {
     // the collected source count)
     if (explicitSources.isDefined &&
         2L * edges.count() <= localNbrRowCap) {
-      val adjRows = ApproxCloseness.collectAdj(Edges.neighbors(edges))
+      val adjRows = ApproxCloseness.collectAdjCanonical(edges)
       val srcs = ApproxCloseness.collectSources(explicitSources.get)
       val nLocal = ApproxCloseness.localVertexCount(adjRows)
       val out = PathCentralitySmall.betweennessLocal(

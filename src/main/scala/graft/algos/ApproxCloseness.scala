@@ -83,7 +83,7 @@ object ApproxCloseness {
     // frame (Spark xxhash64 ordering is not replicated driver-side).
     if (explicitSources.isDefined &&
         2L * edges.count() <= localNbrRowCap) {
-      val adjRows = collectAdj(Edges.neighbors(edges))
+      val adjRows = collectAdjCanonical(edges)
       val srcs = collectSources(explicitSources.get)
       val nLocal = localVertexCount(adjRows)
       val out = PathCentralitySmall.closenessLocal(
@@ -170,6 +170,29 @@ object ApproxCloseness {
     var i = 0
     while (i < rows.length) {
       val r = rows(i); s(i) = r.getLong(0); d(i) = r.getLong(1); i += 1
+    }
+    (s, d)
+  }
+
+  /** [[collectAdj]] from the CANONICAL edge table: collects E rows and
+    * mirrors both directions on the driver — half the rows crossing the
+    * driver boundary, and no Spark-side symmetrize union. The neighbor
+    * MULTISET is identical to `collectAdj(Edges.neighbors(edges))`
+    * (only array order differs, and [[PathCentralitySmall.Adj]]
+    * sorts+dedups), so every downstream result is unchanged.
+    */
+  private[algos] def collectAdjCanonical(edges: DataFrame): (Array[Long], Array[Long]) = {
+    val rows = edges.select("src", "dst").collect()
+    val n = rows.length
+    val s = new Array[Long](2 * n)
+    val d = new Array[Long](2 * n)
+    var i = 0
+    while (i < n) {
+      val r = rows(i)
+      val a = r.getLong(0); val b = r.getLong(1)
+      s(i) = a; d(i) = b
+      s(n + i) = b; d(n + i) = a
+      i += 1
     }
     (s, d)
   }
