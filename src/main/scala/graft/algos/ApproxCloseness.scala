@@ -176,10 +176,15 @@ object ApproxCloseness {
 
   /** [[collectAdj]] from the CANONICAL edge table: collects E rows and
     * mirrors both directions on the driver — half the rows crossing the
-    * driver boundary, and no Spark-side symmetrize union. The neighbor
-    * MULTISET is identical to `collectAdj(Edges.neighbors(edges))`
-    * (only array order differs, and [[PathCentralitySmall.Adj]]
-    * sorts+dedups), so every downstream result is unchanged.
+    * driver boundary, and no Spark-side symmetrize union. Row ORDER is
+    * preserved too, not just the multiset: `Edges.neighbors` is
+    * union(forward, mirrored) and a union concatenates its children's
+    * partitions, so `collectAdj(neighbors(e))` also yields all forward
+    * rows in scan order followed by all mirrored rows — the exact
+    * sequence built here. [[PathCentralitySmall.Adj]] therefore sees
+    * identical input (order matters for the non-portable betweenness
+    * float accumulation; the portable/oracle path is order-independent
+    * regardless).
     */
   private[algos] def collectAdjCanonical(edges: DataFrame): (Array[Long], Array[Long]) = {
     val rows = edges.select("src", "dst").collect()

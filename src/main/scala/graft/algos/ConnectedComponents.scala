@@ -149,30 +149,11 @@ object ConnectedComponents {
     * loop's rows.
     */
   private def runLocal(spark: SparkSession, e: DataFrame): DataFrame = {
-    val rows = e.select("u", "v").collect()
-    val srcA = new Array[Long](rows.length)
-    val dstA = new Array[Long](rows.length)
-    var i = 0
-    while (i < rows.length) {
-      val r = rows(i); srcA(i) = r.getLong(0); dstA(i) = r.getLong(1); i += 1
-    }
-    // sorted distinct vertex ids; index = rank (ascending id order)
-    val ids: Array[Long] = {
-      val all = new Array[Long](srcA.length * 2)
-      System.arraycopy(srcA, 0, all, 0, srcA.length)
-      System.arraycopy(dstA, 0, all, srcA.length, dstA.length)
-      java.util.Arrays.sort(all)
-      var w = 0
-      var j = 0
-      while (j < all.length) {
-        if (w == 0 || all(j) != all(w - 1)) { all(w) = all(j); w += 1 }
-        j += 1
-      }
-      java.util.Arrays.copyOf(all, w)
-    }
+    val (srcA, dstA) = graft.core.LocalGraph.collectPairs(e, "u", "v")
+    val (ids, sIdx, dIdx) = graft.core.LocalGraph.dense(srcA, dstA)
     val n = ids.length
     val parent = new Array[Int](n)
-    i = 0
+    var i = 0
     while (i < n) { parent(i) = i; i += 1 }
     def find(x0: Int): Int = {
       var x = x0
@@ -184,8 +165,8 @@ object ConnectedComponents {
     }
     i = 0
     while (i < srcA.length) {
-      val a = find(java.util.Arrays.binarySearch(ids, srcA(i)))
-      val b = find(java.util.Arrays.binarySearch(ids, dstA(i)))
+      val a = find(sIdx(i))
+      val b = find(dIdx(i))
       // union toward the smaller INDEX = smaller id (ids ascending), so
       // every root is already its component's minimum id
       if (a != b) { if (a < b) parent(b) = a else parent(a) = b }

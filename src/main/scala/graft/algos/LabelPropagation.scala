@@ -36,10 +36,13 @@ object LabelPropagation {
   def run(spark: SparkSession, edges: DataFrame, iterations: Int,
           localEdgeCap: Long = LocalEdgeCap): DataFrame = {
     val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    // one materialization of the caller's edge pipeline serves the
-    // gate count AND whichever path runs (the local collect or the
-    // adjacency build)
-    val e0 = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    // one materialization of the edge pipeline serves the gate count
+    // AND whichever path runs (the local collect or the adjacency
+    // build). A PRIVATE projection is cached, not the caller's frame:
+    // unpersisting the caller's own reference at the end would evict a
+    // cache the caller may have established on that exact plan.
+    val e0 = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val eCount = e0.count()
     if (eCount <= localEdgeCap) {
       val out = runLocal(spark, e0, iterations)
@@ -92,50 +95,11 @@ object LabelPropagation {
     */
   private def runLocal(spark: SparkSession, e: DataFrame,
                        iterations: Int): DataFrame = {
-    val rows = e.select("src", "dst").collect()
-    val srcA = new Array[Long](rows.length)
-    val dstA = new Array[Long](rows.length)
-    var i = 0
-    while (i < rows.length) {
-      val r = rows(i); srcA(i) = r.getLong(0); dstA(i) = r.getLong(1); i += 1
-    }
-    val ids: Array[Long] = {
-      val all = new Array[Long](srcA.length * 2)
-      System.arraycopy(srcA, 0, all, 0, srcA.length)
-      System.arraycopy(dstA, 0, all, srcA.length, dstA.length)
-      java.util.Arrays.sort(all)
-      var w = 0
-      var j = 0
-      while (j < all.length) {
-        if (w == 0 || all(j) != all(w - 1)) { all(w) = all(j); w += 1 }
-        j += 1
-      }
-      java.util.Arrays.copyOf(all, w)
-    }
+    val (srcA, dstA) = graft.core.LocalGraph.collectPairs(e, "src", "dst")
+    val (ids, sIdx, dIdx) = graft.core.LocalGraph.dense(srcA, dstA)
     val n = ids.length
-    // CSR over both directions
-    val degA = new Array[Int](n)
-    i = 0
-    while (i < srcA.length) {
-      degA(java.util.Arrays.binarySearch(ids, srcA(i))) += 1
-      degA(java.util.Arrays.binarySearch(ids, dstA(i))) += 1
-      i += 1
-    }
-    val rowPtr = new Array[Int](n + 1)
-    i = 0
-    while (i < n) { rowPtr(i + 1) = rowPtr(i) + degA(i); i += 1 }
-    val colIdx = new Array[Int](rowPtr(n))
-    locally {
-      val cursor = rowPtr.clone()
-      var j = 0
-      while (j < srcA.length) {
-        val a = java.util.Arrays.binarySearch(ids, srcA(j))
-        val b = java.util.Arrays.binarySearch(ids, dstA(j))
-        colIdx(cursor(a)) = b; cursor(a) += 1
-        colIdx(cursor(b)) = a; cursor(b) += 1
-        j += 1
-      }
-    }
+    val (rowPtr, colIdx) = graft.core.LocalGraph.undirectedCsr(n, sIdx, dIdx)
+    var i = 0
     var labels: Array[Long] = Array.tabulate(n)(v => ids(v))
     var it = 0
     while (it < iterations) {

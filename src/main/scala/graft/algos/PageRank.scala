@@ -75,11 +75,18 @@ object PageRank {
     */
   def runUndirected(spark: SparkSession, edges: DataFrame,
                     cfg: Config = Config()): Result = {
+    require(cfg.engine == "auto" || cfg.engine == "rel",
+      s"""Config.engine must be "auto" or "rel", got "${cfg.engine}"""")
     val tryRoute = cfg.engine != "rel" && cfg.checkpoint.isEmpty &&
       !cfg.saltedAgg && cfg.numPartitions.isEmpty
     val routed: Option[Result] = if (!tryRoute) None else {
-      val mx = edges.agg(max(greatest(col("src"), col("dst")))).head()
-      if (mx.isNullAt(0) || mx.getLong(0) >= cfg.csrMaxVertices) None
+      // one column-pruned pass gives both gate bounds: maxId under the
+      // broadcast cap AND no negative ids (a negative id would index
+      // outside the CSR arrays; the relational plan handles any id)
+      val mx = edges.agg(max(greatest(col("src"), col("dst"))),
+        min(least(col("src"), col("dst")))).head()
+      if (mx.isNullAt(0) || mx.getLong(0) >= cfg.csrMaxVertices ||
+          mx.getLong(1) < 0L) None
       else PageRankCsr.runIfDense(spark, edges, cfg.maxIter, cfg.tol,
           cfg.alpha)
         .map(c => Result(c.ranks, c.iterations, c.err,
@@ -251,12 +258,15 @@ object PageRank {
                           portableSum: Boolean = false,
                           localEdgeCap: Long = FixedIterLocalEdgeCap): DataFrame = {
     val spark = edges.sparkSession
-    // one materialization of the caller's edge pipeline serves the gate
-    // count and whichever path runs (local collect or adjacency build)
+    // one materialization of the edge pipeline serves the gate count
+    // and whichever path runs (local collect or adjacency build). A
+    // PRIVATE projection is cached, not the caller's frame — see the
+    // LabelPropagation note on caller-cache eviction.
     var src = edges
     var srcCached = false
     if (portableSum) {
-      val e0 = edges.persist(StorageLevel.MEMORY_AND_DISK)
+      val e0 = edges.select(col("src"), col("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       if (e0.count() <= localEdgeCap) {
         val out = fixedIterPortableLocal(spark, e0, iters, alpha)
         e0.unpersist(false)
@@ -310,50 +320,13 @@ object PageRank {
     */
   private def fixedIterPortableLocal(spark: SparkSession, e: DataFrame,
                                      iters: Int, alpha: Double): DataFrame = {
-    val rows = e.select("src", "dst").collect()
-    val srcA = new Array[Long](rows.length)
-    val dstA = new Array[Long](rows.length)
-    var i = 0
-    while (i < rows.length) {
-      val r = rows(i); srcA(i) = r.getLong(0); dstA(i) = r.getLong(1); i += 1
-    }
-    val ids: Array[Long] = {
-      val all = new Array[Long](srcA.length * 2)
-      System.arraycopy(srcA, 0, all, 0, srcA.length)
-      System.arraycopy(dstA, 0, all, srcA.length, dstA.length)
-      java.util.Arrays.sort(all)
-      var w = 0
-      var j = 0
-      while (j < all.length) {
-        if (w == 0 || all(j) != all(w - 1)) { all(w) = all(j); w += 1 }
-        j += 1
-      }
-      java.util.Arrays.copyOf(all, w)
-    }
+    val (srcA, dstA) = graft.core.LocalGraph.collectPairs(e, "src", "dst")
+    val (ids, sIdx, dIdx) = graft.core.LocalGraph.dense(srcA, dstA)
     val n = ids.length
-    val degI = new Array[Int](n)
-    val sIdx = new Array[Int](srcA.length)
-    val dIdx = new Array[Int](srcA.length)
-    i = 0
-    while (i < srcA.length) {
-      sIdx(i) = java.util.Arrays.binarySearch(ids, srcA(i))
-      dIdx(i) = java.util.Arrays.binarySearch(ids, dstA(i))
-      degI(sIdx(i)) += 1; degI(dIdx(i)) += 1
-      i += 1
-    }
-    val rowPtr = new Array[Int](n + 1)
-    i = 0
-    while (i < n) { rowPtr(i + 1) = rowPtr(i) + degI(i); i += 1 }
-    val colIdx = new Array[Int](rowPtr(n))
-    locally {
-      val cursor = rowPtr.clone()
-      var j = 0
-      while (j < srcA.length) {
-        colIdx(cursor(sIdx(j))) = dIdx(j); cursor(sIdx(j)) += 1
-        colIdx(cursor(dIdx(j))) = sIdx(j); cursor(dIdx(j)) += 1
-        j += 1
-      }
-    }
+    val (rowPtr, colIdx) = graft.core.LocalGraph.undirectedCsr(n, sIdx, dIdx)
+    // degree of v = its undirected CSR row length — the identical
+    // integer the relational count() produced
+    val degI = Array.tabulate(n)(v => rowPtr(v + 1) - rowPtr(v))
     val nD = n.toDouble
     val base = (1.0 - alpha) / nD
     val scale = 1e15

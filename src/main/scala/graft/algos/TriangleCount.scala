@@ -109,37 +109,12 @@ object TriangleCount {
     * are independent, summed exactly as longs).
     */
   private def countLocal(e: DataFrame): Long = {
-    val rows = e.select("src", "dst").collect()
-    val srcA = new Array[Long](rows.length)
-    val dstA = new Array[Long](rows.length)
-    var i = 0
-    while (i < rows.length) {
-      val r = rows(i); srcA(i) = r.getLong(0); dstA(i) = r.getLong(1); i += 1
-    }
-    val ids: Array[Long] = {
-      val all = new Array[Long](srcA.length * 2)
-      System.arraycopy(srcA, 0, all, 0, srcA.length)
-      System.arraycopy(dstA, 0, all, srcA.length, dstA.length)
-      java.util.Arrays.sort(all)
-      var w = 0
-      var j = 0
-      while (j < all.length) {
-        if (w == 0 || all(j) != all(w - 1)) { all(w) = all(j); w += 1 }
-        j += 1
-      }
-      java.util.Arrays.copyOf(all, w)
-    }
+    val (srcA, dstA) = graft.core.LocalGraph.collectPairs(e, "src", "dst")
+    val (ids, sIdx, dIdx) = graft.core.LocalGraph.dense(srcA, dstA)
     val n = ids.length
     val deg = new Array[Int](n)
-    val sIdx = new Array[Int](srcA.length)
-    val dIdx = new Array[Int](srcA.length)
-    i = 0
-    while (i < srcA.length) {
-      sIdx(i) = java.util.Arrays.binarySearch(ids, srcA(i))
-      dIdx(i) = java.util.Arrays.binarySearch(ids, dstA(i))
-      deg(sIdx(i)) += 1; deg(dIdx(i)) += 1
-      i += 1
-    }
+    var i = 0
+    while (i < srcA.length) { deg(sIdx(i)) += 1; deg(dIdx(i)) += 1; i += 1 }
     // total order: (degree, id) ascending — ids(a) < ids(b) iff a < b
     def precedes(a: Int, b: Int): Boolean =
       deg(a) < deg(b) || (deg(a) == deg(b) && a < b)

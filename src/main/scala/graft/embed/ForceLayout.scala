@@ -98,6 +98,7 @@ object ForceLayout {
     // ordinal assignment and the sample pick both run on the driver
     // from one collected edge list; above it Ids.dense + a top-k job
     // produce the identical values.
+    var eidBc: Option[org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Long])]] = None
     val (eidEdges, sEids, sSrcs, sDsts) =
       if (edgeCount <= cfg.localInitEdgeCap) {
         val rows = edges.select("src", "dst").collect()
@@ -119,16 +120,26 @@ object ForceLayout {
             else java.lang.Long.compare(pairs(2 * a + 1), pairs(2 * b + 1))
           }
         })
-        val triples = new Array[(Long, Long, Long)](rows.length)
+        val srcSorted = new Array[Long](rows.length)
+        val dstSorted = new Array[Long](rows.length)
         i = 0
         while (i < rows.length) {
           val o = boxed(i).intValue()
-          triples(i) = (pairs(2 * o), pairs(2 * o + 1), i.toLong)
+          srcSorted(i) = pairs(2 * o); dstSorted(i) = pairs(2 * o + 1)
           i += 1
         }
+        // ship the sorted edge list as TWO PRIMITIVE ARRAYS behind a
+        // broadcast + range map: parallelize of (Long,Long,Long) tuples
+        // would pin hundreds of MB of boxed tuples on the driver for the
+        // whole layout run at the 5M-edge cap (ParallelCollectionRDD
+        // keeps its seq alive for cache rebuilds); the broadcast holds
+        // ~16 B/edge and is released with the cache below
         import spark.implicits._
+        val bc = spark.sparkContext.broadcast((srcSorted, dstSorted))
+        eidBc = Some(bc)
         val df = spark.sparkContext
-          .parallelize(triples.toIndexedSeq, math.max(1, sessP))
+          .parallelize(0 until rows.length, math.max(1, sessP))
+          .map(i => (bc.value._1(i), bc.value._2(i), i.toLong))
           .toDF("src", "dst", "eid")
           .persist(StorageLevel.MEMORY_AND_DISK)
         // sample: the sampleSize smallest (xxhash64(eid), eid) —
@@ -146,8 +157,8 @@ object ForceLayout {
         val picked = byHash.take(sampleSize).map(_.intValue()).sorted
         (df,
           picked.map(_.toLong),
-          picked.map(e => pairs(2 * boxed(e).intValue())),
-          picked.map(e => pairs(2 * boxed(e).intValue() + 1)))
+          picked.map(srcSorted(_)),
+          picked.map(dstSorted(_)))
       } else {
         val df = Ids.dense(spark, edges.select("src", "dst"),
           Seq("src", "dst"), "eid")
@@ -244,8 +255,15 @@ object ForceLayout {
       // the identical double op zip_with evaluated, so qvecs are
       // bit-identical to the old broadcast-join sample job — which this
       // replaces outright (one fewer action per superstep).
-      val qids = sEids
-      val qvecs = Array.tabulate(sampleSize) { i =>
+      // a sampled edge whose endpoint is absent from the state frame is
+      // dropped for the iteration — the old broadcast-join refresh's
+      // inner-join semantics (callers passing a position frame that
+      // covers every vertex, i.e. all engine paths, never hit this)
+      val live = (0 until sampleSize)
+        .filter(i => posMap.contains(sSrcs(i)) && posMap.contains(sDsts(i)))
+        .toArray
+      val qids = live.map(sEids(_))
+      val qvecs = live.map { i =>
         val p1 = posMap(sSrcs(i)); val p2 = posMap(sDsts(i))
         Array.tabulate(d)(j => (p1(j) + p2(j)) * 0.5)
       }
@@ -263,9 +281,9 @@ object ForceLayout {
       // session width above — no per-superstep E-row repartition.
       val sampledT = {
         import spark.implicits._
-        (0 until sampleSize).map { i =>
+        live.toSeq.zipWithIndex.map { case (i, li) =>
           (sEids(i), sSrcs(i), sDsts(i),
-            posMap(sSrcs(i)).toSeq, posMap(sDsts(i)).toSeq, qvecs(i).toSeq)
+            posMap(sSrcs(i)).toSeq, posMap(sDsts(i)).toSeq, qvecs(li).toSeq)
         }.toDF("i_eid", "i_src", "i_dst", "ip1", "ip2", "imid")
       }
       val topk = mids.select(col("eid"), col("mid"))
@@ -389,6 +407,7 @@ object ForceLayout {
     }
     }
     eidEdges.unpersist(false)
+    eidBc.foreach(_.unpersist(false))
     pos
   }
 

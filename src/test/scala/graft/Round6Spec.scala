@@ -26,6 +26,15 @@ class Round6Spec extends SparkSuite {
     }
   }
 
+  test("auto engine falls back to relational on negative ids") {
+    // a negative id would index outside the CSR arrays; the relational
+    // plan must take over (and still compute the right chain)
+    val e = edgesOf(Seq((-2L, 0L), (0L, 1L), (-2L, 1L)))
+    val r = PageRank.runUndirected(spark, e)
+    assert(r.engine == "rel")
+    assert(math.abs(r.ranks.agg(sum(col("rank"))).head().getDouble(0) - 1.0) < 1e-9)
+  }
+
   test("auto engine falls back to relational on sparse id spaces") {
     // ids {0, 2, 4, 6}: maxId+1 = 7 slots but only 4 vertices — the CSR
     // chain would use the wrong n (teleport base/init), so the route
